@@ -1,0 +1,229 @@
+"""Backbone parity tests.
+
+The canonical ViT math (patch embed, pos embed, pre-norm attention blocks,
+exact GELU, final LN) is validated against HuggingFace `transformers`'
+torch ViTModel on random weights — an independent implementation available
+offline. DINOv2 extras (LayerScale, SwiGLU, registers) and the positional
+interpolation are validated against torch directly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hbird_tpu.models import FeatureExtractor, FeatureExtractorSimple, ViT, ViTConfig
+from hbird_tpu.models.convert import convert, convert_hf_vit, convert_timm_vit
+from hbird_tpu.models.vit import interpolate_pos_embed
+
+torch = pytest.importorskip("torch")
+
+
+class TestHFParity:
+    @pytest.fixture(scope="class")
+    def hf_model_and_params(self):
+        transformers = pytest.importorskip("transformers")
+        cfg_hf = transformers.ViTConfig(
+            hidden_size=64,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            intermediate_size=256,
+            image_size=32,
+            patch_size=8,
+        )
+        torch.manual_seed(0)
+        model = transformers.ViTModel(cfg_hf, add_pooling_layer=False).eval()
+        sd = {k: v for k, v in model.state_dict().items()}
+        cfg = ViTConfig(
+            patch_size=8,
+            width=64,
+            depth=3,
+            num_heads=4,
+            mlp_ratio=4.0,
+            img_size=32,
+            ln_eps=1e-12,
+        )
+        params, cfg = convert_hf_vit(sd, cfg)
+        return model, params, cfg
+
+    def test_forward_matches_hf(self, hf_model_and_params):
+        model, params, cfg = hf_model_and_params
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(x)).last_hidden_state.numpy()
+        vit = ViT(cfg)
+        out = vit.apply(params, jnp.asarray(x))
+        ours = np.concatenate(
+            [np.asarray(out["x_norm_clstoken"])[:, None], np.asarray(out["x_norm_patchtokens"])],
+            axis=1,
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+    def test_auto_family_sniff(self, hf_model_and_params):
+        model, _, _ = hf_model_and_params
+        params, cfg = convert(dict(model.state_dict()), family="auto")
+        assert cfg.ln_eps == 1e-12
+
+
+class TestTimmStyleConversion:
+    def _torch_timm_block_sd(self, depth=2, d=32, heads=2, p=4, grid=4,
+                             layerscale=False, swiglu=False, n_reg=0):
+        """Build a random timm-style state dict (pure torch tensors)."""
+        torch.manual_seed(1)
+        sd = {
+            "patch_embed.proj.weight": torch.randn(d, 3, p, p) * 0.05,
+            "patch_embed.proj.bias": torch.randn(d) * 0.05,
+            "cls_token": torch.randn(1, 1, d) * 0.05,
+            "pos_embed": torch.randn(1, 1 + grid * grid, d) * 0.05,
+            "norm.weight": torch.rand(d) + 0.5,
+            "norm.bias": torch.randn(d) * 0.05,
+        }
+        h = int(d * 4 * 2 / 3) if swiglu else d * 4
+        h = ((h + 7) // 8) * 8 if swiglu else h
+        for i in range(depth):
+            sd[f"blocks.{i}.norm1.weight"] = torch.rand(d) + 0.5
+            sd[f"blocks.{i}.norm1.bias"] = torch.randn(d) * 0.05
+            sd[f"blocks.{i}.attn.qkv.weight"] = torch.randn(3 * d, d) * 0.05
+            sd[f"blocks.{i}.attn.qkv.bias"] = torch.randn(3 * d) * 0.05
+            sd[f"blocks.{i}.attn.proj.weight"] = torch.randn(d, d) * 0.05
+            sd[f"blocks.{i}.attn.proj.bias"] = torch.randn(d) * 0.05
+            sd[f"blocks.{i}.norm2.weight"] = torch.rand(d) + 0.5
+            sd[f"blocks.{i}.norm2.bias"] = torch.randn(d) * 0.05
+            if swiglu:
+                sd[f"blocks.{i}.mlp.w12.weight"] = torch.randn(2 * h, d) * 0.05
+                sd[f"blocks.{i}.mlp.w12.bias"] = torch.randn(2 * h) * 0.05
+                sd[f"blocks.{i}.mlp.w3.weight"] = torch.randn(d, h) * 0.05
+                sd[f"blocks.{i}.mlp.w3.bias"] = torch.randn(d) * 0.05
+            else:
+                sd[f"blocks.{i}.mlp.fc1.weight"] = torch.randn(h, d) * 0.05
+                sd[f"blocks.{i}.mlp.fc1.bias"] = torch.randn(h) * 0.05
+                sd[f"blocks.{i}.mlp.fc2.weight"] = torch.randn(d, h) * 0.05
+                sd[f"blocks.{i}.mlp.fc2.bias"] = torch.randn(d) * 0.05
+            if layerscale:
+                sd[f"blocks.{i}.ls1.gamma"] = torch.rand(d) * 0.1
+                sd[f"blocks.{i}.ls2.gamma"] = torch.rand(d) * 0.1
+        if n_reg:
+            sd["register_tokens"] = torch.randn(1, n_reg, d) * 0.05
+        return sd
+
+    def _torch_forward(self, sd, x, depth, d, heads, p, layerscale, swiglu, n_reg, eps=1e-6):
+        """Reference forward in torch mirroring timm/DINOv2 semantics."""
+        import torch.nn.functional as tF
+
+        xt = torch.from_numpy(x)
+        B = xt.shape[0]
+        tok = tF.conv2d(xt, sd["patch_embed.proj.weight"], sd["patch_embed.proj.bias"], stride=p)
+        tok = tok.flatten(2).transpose(1, 2)  # (B, N, D)
+        cls = sd["cls_token"].expand(B, -1, -1)
+        tok = torch.cat([cls, tok], dim=1) + sd["pos_embed"]
+        if n_reg:
+            regs = sd["register_tokens"].expand(B, -1, -1)
+            tok = torch.cat([tok[:, :1], regs, tok[:, 1:]], dim=1)
+
+        def ln(t, w, b):
+            return tF.layer_norm(t, (d,), w, b, eps=eps)
+
+        for i in range(depth):
+            y = ln(tok, sd[f"blocks.{i}.norm1.weight"], sd[f"blocks.{i}.norm1.bias"])
+            qkv = y @ sd[f"blocks.{i}.attn.qkv.weight"].T + sd[f"blocks.{i}.attn.qkv.bias"]
+            n = y.shape[1]
+            qkv = qkv.reshape(B, n, 3, heads, d // heads).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            a = tF.softmax(q @ k.transpose(-2, -1) / (d // heads) ** 0.5, dim=-1)
+            o = (a @ v).transpose(1, 2).reshape(B, n, d)
+            o = o @ sd[f"blocks.{i}.attn.proj.weight"].T + sd[f"blocks.{i}.attn.proj.bias"]
+            if layerscale:
+                o = o * sd[f"blocks.{i}.ls1.gamma"]
+            tok = tok + o
+            y = ln(tok, sd[f"blocks.{i}.norm2.weight"], sd[f"blocks.{i}.norm2.bias"])
+            if swiglu:
+                x12 = y @ sd[f"blocks.{i}.mlp.w12.weight"].T + sd[f"blocks.{i}.mlp.w12.bias"]
+                x1, x2 = x12.chunk(2, dim=-1)
+                hdn = tF.silu(x1) * x2
+                m = hdn @ sd[f"blocks.{i}.mlp.w3.weight"].T + sd[f"blocks.{i}.mlp.w3.bias"]
+            else:
+                hdn = tF.gelu(y @ sd[f"blocks.{i}.mlp.fc1.weight"].T + sd[f"blocks.{i}.mlp.fc1.bias"])
+                m = hdn @ sd[f"blocks.{i}.mlp.fc2.weight"].T + sd[f"blocks.{i}.mlp.fc2.bias"]
+            if layerscale:
+                m = m * sd[f"blocks.{i}.ls2.gamma"]
+            tok = tok + m
+        tok = ln(tok, sd["norm.weight"], sd["norm.bias"])
+        return tok.numpy()
+
+    @pytest.mark.parametrize(
+        "layerscale,swiglu,n_reg",
+        [(False, False, 0), (True, False, 0), (True, True, 0), (True, False, 2)],
+    )
+    def test_timm_style_forward_parity(self, layerscale, swiglu, n_reg):
+        depth, d, heads, p, grid = 2, 32, 2, 4, 4
+        sd = self._torch_timm_block_sd(depth, d, heads, p, grid, layerscale, swiglu, n_reg)
+        params, cfg = convert_timm_vit({k: v.numpy() for k, v in sd.items()})
+        assert cfg.layerscale == layerscale
+        assert cfg.swiglu == swiglu
+        assert cfg.num_register_tokens == n_reg
+        # Heads inference uses 64-dim heads; override for the tiny test model.
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, num_heads=heads)
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2, 3, grid * p, grid * p)).astype(np.float32)
+        with torch.no_grad():
+            ref = self._torch_forward(sd, x, depth, d, heads, p, layerscale, swiglu, n_reg)
+        out = ViT(cfg).apply(params, jnp.asarray(x))
+        ours = np.asarray(out["x_norm_patchtokens"])
+        np.testing.assert_allclose(ours, ref[:, 1 + n_reg :], rtol=1e-4, atol=1e-4)
+
+
+class TestPosEmbedInterpolation:
+    def test_matches_torch_bicubic(self):
+        torch.manual_seed(3)
+        d, g_in, g_out = 16, 7, 12
+        pos = torch.randn(1, 1 + g_in * g_in, d)
+        ours = interpolate_pos_embed(pos.numpy(), (g_out, g_out))
+        patch = pos[:, 1:].reshape(1, g_in, g_in, d).permute(0, 3, 1, 2)
+        ref = torch.nn.functional.interpolate(
+            patch, size=(g_out, g_out), mode="bicubic", align_corners=False
+        )
+        ref = ref.permute(0, 2, 3, 1).reshape(1, g_out * g_out, d)
+        np.testing.assert_allclose(ours[:, 0], pos[:, 0].numpy(), atol=0)
+        np.testing.assert_allclose(ours[:, 1:], ref.numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_identity_when_same_size(self):
+        pos = np.random.default_rng(0).normal(size=(1, 1 + 9, 8)).astype(np.float32)
+        out = interpolate_pos_embed(pos, (3, 3))
+        np.testing.assert_allclose(out, pos, atol=0)
+
+
+class TestExtractors:
+    def test_simple_extractor_passthrough(self):
+        def fn(model, imgs):
+            return imgs.reshape(imgs.shape[0], 4, -1)
+
+        fe = FeatureExtractorSimple(None, fn, eval_spatial_resolution=2, d_model=12)
+        x = jnp.ones((2, 3, 4, 4))
+        feats, attn = fe.forward_features(x)
+        assert feats.shape == (2, 4, 12)
+        assert attn is None
+
+    def test_vit_extractor_shapes(self):
+        cfg = ViTConfig(patch_size=4, width=32, depth=2, num_heads=2, img_size=16)
+        vit = ViT(cfg)
+        params = vit.init(jax.random.PRNGKey(0))
+        fe = FeatureExtractor(vit, params)
+        x = jnp.zeros((2, 3, 16, 16))
+        feats, _ = fe.forward_features(x)
+        assert feats.shape == (2, 16, 32)
+        assert fe.eval_spatial_resolution == 4
+        feats2, attn = fe.forward_features_with_attention(x)
+        assert attn.shape == (2, 16)
+        np.testing.assert_allclose(np.asarray(feats), np.asarray(feats2), atol=1e-6)
+
+    def test_pos_interp_input_size(self):
+        cfg = ViTConfig(patch_size=4, width=32, depth=2, num_heads=2, img_size=16)
+        vit = ViT(cfg)
+        params = vit.init(jax.random.PRNGKey(0))
+        params32 = vit.prepare_params(params, 32)
+        out = vit.apply(params32, jnp.zeros((1, 3, 32, 32)))
+        assert out["x_norm_patchtokens"].shape == (1, 64, 32)
