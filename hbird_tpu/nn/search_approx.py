@@ -1,0 +1,110 @@
+"""Approximate kNN backend (the TPU-native ScaNN equivalent).
+
+The reference's ScaNN backend prunes work with a k-means tree +
+asymmetric hashing + exact reordering (hbird/nn/search_scann.py:18-33).
+On TPU the idiomatic pruning primitive is `lax.approx_max_k` — the
+hardware PartialReduce MIPS operator — which skips the full sort rather
+than the scoring matmul. This backend accepts ScaNN's parameter names for
+drop-in config compatibility and maps them onto a recall target:
+
+- num_leaves / num_leaves_to_search: recall ~ grows with the searched
+  fraction; recall_target = clip(0.9 + 0.4 * leaves_to_search/num_leaves)
+  unless `recall_target` is given explicitly.
+- num_reordering_candidates: candidates fetched before the exact top-k
+  merge (aggregate_to_topk handles this internally; accepted, unused).
+- anisotropic_quantization_threshold / dimensions_per_block: quantization
+  knobs with no TPU analogue (bf16 bank storage replaces AH); accepted,
+  unused.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hbird_tpu.nn.search_base import NearestNeighborSearchBase
+from hbird_tpu.parallel.sharded_knn import sharded_knn_with_labels
+
+
+class NearestNeighborSearchApprox(NearestNeighborSearchBase):
+    def __init__(
+        self,
+        feature_memory,
+        n_neighbors: int = 30,
+        distance_measure: str = "dot_product",
+        num_leaves: int = 512,
+        num_leaves_to_search: int = 32,
+        anisotropic_quantization_threshold: float = 0.2,
+        num_reordering_candidates: int = 120,
+        dimensions_per_block: int = 4,
+        recall_target: Optional[float] = None,
+        use_fp16: bool = False,
+        mesh=None,
+        label_memory=None,
+        query_block: int = 1024,
+        bank_block: int = 8192,
+        **kwargs,
+    ):
+        if distance_measure not in ("dot_product", "euclidean", "l2"):
+            raise ValueError(f"Unsupported distance measure: {distance_measure}")
+        if recall_target is None:
+            frac = num_leaves_to_search / max(1, num_leaves)
+            recall_target = float(np.clip(0.9 + 0.4 * frac, 0.5, 0.99))
+        self.recall_target = recall_target
+        self.num_leaves = num_leaves
+        self.num_leaves_to_search = num_leaves_to_search
+        self.num_reordering_candidates = num_reordering_candidates
+        self.use_fp16 = use_fp16
+        self.mesh = mesh
+        self.label_memory = label_memory
+        self.query_block = int(query_block)
+        self.bank_block = int(bank_block)
+        super().__init__(feature_memory, n_neighbors, distance_measure)
+
+    def _initialize_index(self):
+        return None
+
+    def _add_features_to_index(self):
+        bank = np.asarray(self.feature_memory, dtype=np.float32)
+        store = jnp.bfloat16 if self.use_fp16 else jnp.float32
+        labels = self.label_memory
+        if labels is None:
+            labels = np.zeros((bank.shape[0], 1), np.float32)
+        labels = np.asarray(labels, np.float32)
+        if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
+            from hbird_tpu.parallel.sharded_knn import shard_bank
+
+            self.bank, self.labels, self.valid_rows = shard_bank(
+                bank.astype(store), labels, self.mesh
+            )
+        else:
+            self.bank = jnp.asarray(bank, store)
+            self.labels = jnp.asarray(labels)
+            self.valid_rows = bank.shape[0]
+            self.mesh = None
+
+    def search_with_labels(self, q: jax.Array, k: Optional[int] = None):
+        k = k or self.n_neighbors
+        return sharded_knn_with_labels(
+            q.astype(self.bank.dtype),
+            self.bank,
+            self.labels,
+            k,
+            mesh=self.mesh,
+            valid_rows=self.valid_rows,
+            distance="l2" if self.distance_measure == "euclidean" else self.distance_measure,
+            approx=True,
+            recall_target=self.recall_target,
+            query_block=self.query_block,
+            bank_block=self.bank_block,
+        )
+
+    def find_nearest_neighbors(
+        self, q, k: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        k = k or self.n_neighbors
+        vals, idx, _ = self.search_with_labels(jnp.asarray(np.asarray(q)), k)
+        return np.asarray(idx), np.asarray(vals)

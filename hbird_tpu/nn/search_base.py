@@ -1,0 +1,45 @@
+"""Nearest-neighbour backend contract.
+
+Same ABC shape as the reference (hbird/nn/search_base.py:3-31):
+construction takes the feature memory; `find_nearest_neighbors(q, k)`
+returns (indices, distances) as numpy arrays. TPU backends additionally
+expose `search_with_labels` — the fused device-resident path the engine
+uses (scores + neighbour labels without leaving the device).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class NearestNeighborSearchBase(ABC):
+    def __init__(
+        self,
+        feature_memory,
+        n_neighbors: int = 30,
+        distance_measure: str = "dot_product",
+        **kwargs,
+    ):
+        self.feature_memory = feature_memory
+        self.n_neighbors = n_neighbors
+        self.distance_measure = distance_measure.lower()
+        self.index = self._initialize_index()
+        self._add_features_to_index()
+
+    @abstractmethod
+    def _initialize_index(self):
+        """Initialize the search index/state."""
+
+    @abstractmethod
+    def _add_features_to_index(self):
+        """Place the feature memory on device(s)."""
+
+    @abstractmethod
+    def find_nearest_neighbors(
+        self, q, k: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (indices, distances) for queries q — numpy, like the
+        reference backends (search_faiss.py:83-90)."""

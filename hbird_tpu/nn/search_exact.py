@@ -1,0 +1,104 @@
+"""Exact flat kNN backend on TPU HBM (replaces Faiss GpuIndexFlatIP/L2).
+
+Feature parity with the reference Faiss backend
+(hbird/nn/search_faiss.py:6-90):
+- distance_measure: "dot_product" (default) | "l2"/"euclidean"
+- `use_fp16` -> bf16 bank storage (the TPU half-precision analogue of
+  faiss `config.useFloat16`, search_faiss.py:40); scores accumulate in f32
+- `idx_shard=True` + a mesh -> rows sharded across the mesh's bank axis
+  (IndexShards equivalent); `idx_shard=False` keeps the bank on one
+  device / replicated (IndexReplicas equivalent — on TPU a replicated
+  bank is just the degenerate 1-shard case since queries already batch)
+- `gpu_ids` -> `devices` (optional explicit device list)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hbird_tpu.nn.search_base import NearestNeighborSearchBase
+from hbird_tpu.parallel.mesh import make_mesh
+from hbird_tpu.parallel.sharded_knn import shard_bank, sharded_knn_with_labels
+
+
+class NearestNeighborSearchExact(NearestNeighborSearchBase):
+    def __init__(
+        self,
+        feature_memory,
+        n_neighbors: int = 30,
+        distance_measure: str = "dot_product",
+        idx_shard: bool = False,
+        use_fp16: bool = False,
+        devices=None,
+        mesh=None,
+        label_memory=None,
+        query_block: int = 1024,
+        bank_block: int = 8192,
+        **kwargs,
+    ):
+        self.use_fp16 = use_fp16
+        self.idx_shard = idx_shard
+        self.devices = devices
+        self.mesh = mesh
+        self.label_memory = label_memory
+        self.query_block = int(query_block)
+        self.bank_block = int(bank_block)
+        super().__init__(feature_memory, n_neighbors, distance_measure)
+
+    # ------------------------------------------------------------------
+    def _initialize_index(self):
+        if self.mesh is None and self.idx_shard:
+            devs = list(self.devices or jax.devices())
+            if len(devs) > 1:
+                self.mesh = make_mesh((len(devs),), ("bank",), devices=devs)
+        return None
+
+    def _add_features_to_index(self):
+        bank = np.asarray(self.feature_memory, dtype=np.float32)
+        store = jnp.bfloat16 if self.use_fp16 else jnp.float32
+        labels = self.label_memory
+        if labels is None:
+            labels = np.zeros((bank.shape[0], 1), np.float32)
+        labels = np.asarray(labels, dtype=np.float32)
+        if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
+            self.bank, self.labels, self.valid_rows = shard_bank(
+                bank.astype(store), labels, self.mesh
+            )
+        else:
+            self.bank = jnp.asarray(bank, dtype=store)
+            self.labels = jnp.asarray(labels)
+            self.valid_rows = bank.shape[0]
+            self.mesh = None
+
+    # ------------------------------------------------------------------
+    def search_with_labels(
+        self, q: jax.Array, k: Optional[int] = None
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Device-resident fused search: (values, global indices, labels).
+
+        Traceable under jit — the engine calls this inside the fused eval
+        step.
+        """
+        k = k or self.n_neighbors
+        return sharded_knn_with_labels(
+            q.astype(self.bank.dtype),
+            self.bank,
+            self.labels,
+            k,
+            mesh=self.mesh,
+            valid_rows=self.valid_rows,
+            distance=self.distance_measure,
+            query_block=self.query_block,
+            bank_block=self.bank_block,
+        )
+
+    def find_nearest_neighbors(
+        self, q, k: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        k = k or self.n_neighbors
+        vals, idx, _ = self.search_with_labels(jnp.asarray(np.asarray(q)), k)
+        return np.asarray(idx), np.asarray(vals)

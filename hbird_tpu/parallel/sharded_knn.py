@@ -1,0 +1,155 @@
+"""Mesh-sharded exact kNN with fused neighbour-label fetch.
+
+The TPU-native replacement for Faiss IndexShards (reference
+hbird/nn/search_faiss.py:53-63): bank rows live sharded across the mesh's
+'bank' axis; each device scores the (replicated) queries against its
+resident shard with the blockwise MXU kernel, then:
+
+1. all_gather the per-shard top-k values and global indices — small:
+   (n_shards, Q, k) — NOT the scores or the bank;
+2. every device computes the identical global top-k merge;
+3. neighbour soft labels are fetched with a masked psum: each shard
+   contributes the label rows of the winners it owns, zeros elsewhere.
+   This keeps per-shard label tables local and moves only (Q, k, C).
+
+Because bank rows are L2-normalized, downstream cross-attention needs only
+(values, labels) — neighbour feature vectors never cross the ICI
+(see hbird_tpu/core/attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hbird_tpu.ops.knn import exact_knn, approx_knn
+
+
+def pad_rows_for_mesh(n_rows: int, n_shards: int, block: int = 8) -> int:
+    """Rows after padding so each shard gets an equal, aligned slice."""
+    per_shard = -(-n_rows // n_shards)
+    per_shard = ((per_shard + block - 1) // block) * block
+    return per_shard * n_shards
+
+
+def shard_bank(
+    bank, labels, mesh: Mesh, bank_axis: str = "bank"
+) -> Tuple[jax.Array, jax.Array, int]:
+    """Place (bank, labels) row-sharded over the mesh's bank axis.
+
+    Returns (bank_sharded, labels_sharded, valid_rows). Rows are zero-padded
+    to an equal per-shard size; padded rows are masked out during search.
+    """
+    import numpy as np
+
+    n_shards = mesh.shape[bank_axis]
+    valid = bank.shape[0]
+    padded = pad_rows_for_mesh(valid, n_shards)
+    if padded != valid:
+        bank = np.concatenate(
+            [bank, np.zeros((padded - valid, bank.shape[1]), bank.dtype)]
+        )
+        labels = np.concatenate(
+            [labels, np.zeros((padded - valid, labels.shape[1]), labels.dtype)]
+        )
+    other_axes = tuple(a for a in mesh.axis_names if a != bank_axis)
+    spec = P(bank_axis)
+    bank_s = jax.device_put(bank, NamedSharding(mesh, spec))
+    labels_s = jax.device_put(labels, NamedSharding(mesh, spec))
+    del other_axes
+    return bank_s, labels_s, valid
+
+
+def sharded_knn_with_labels(
+    queries: jax.Array,
+    bank: jax.Array,
+    labels: jax.Array,
+    k: int,
+    *,
+    mesh: Optional[Mesh] = None,
+    bank_axis: str = "bank",
+    valid_rows: Optional[int | jax.Array] = None,
+    distance: str = "dot_product",
+    approx: bool = False,
+    recall_target: float = 0.95,
+    query_block: int = 1024,
+    bank_block: int = 8192,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Top-k search + label gather, single-device or mesh-sharded.
+
+    Args:
+        queries: (Q, D), replicated across the bank axis.
+        bank: (M, D); row-sharded over `bank_axis` when mesh is given.
+        labels: (M, C) soft labels, sharded like bank.
+        k: neighbours.
+        mesh: optional Mesh with a `bank_axis` axis. None = single-shard.
+        valid_rows: real row count (padding masked out).
+
+    Returns:
+        values: (Q, k) dot-product scores, globally merged, descending.
+        indices: (Q, k) global bank row ids.
+        neighbour_labels: (Q, k, C).
+    """
+    if valid_rows is None:
+        valid_rows = bank.shape[0]
+    valid_rows = jnp.asarray(valid_rows, jnp.int32)
+    search = approx_knn if approx else exact_knn
+    search_kwargs = dict(
+        distance=distance, query_block=query_block, bank_block=bank_block
+    )
+    if approx:
+        search_kwargs["recall_target"] = recall_target
+
+    if mesh is None or mesh.shape.get(bank_axis, 1) == 1:
+        vals, idx = search(queries, bank, k, valid_rows=valid_rows, **search_kwargs)
+        return vals, idx, jnp.take(labels, idx, axis=0)
+
+    n_shards = mesh.shape[bank_axis]
+    assert bank.shape[0] % n_shards == 0, "bank rows must divide the bank axis"
+    shard_rows = bank.shape[0] // n_shards
+    # Axes of the mesh other than the bank axis see replicated operands.
+    other = tuple(a for a in mesh.axis_names if a != bank_axis)
+
+    def local_search(q, bank_l, labels_l, valid_total):
+        i = jax.lax.axis_index(bank_axis)
+        start = (i * shard_rows).astype(jnp.int32)
+        local_valid = jnp.clip(valid_total[0] - start, 0, shard_rows)
+        vals_l, idx_l = search(q, bank_l, k, valid_rows=local_valid, **search_kwargs)
+        gidx_l = idx_l + start
+
+        # Merge: gather the tiny (k per shard) candidate lists everywhere.
+        vals_g = jax.lax.all_gather(vals_l, bank_axis)  # (n, Q, k)
+        gidx_g = jax.lax.all_gather(gidx_l, bank_axis)
+        q_n = vals_g.shape[1]
+        cand_vals = vals_g.transpose(1, 0, 2).reshape(q_n, n_shards * k)
+        cand_idx = gidx_g.transpose(1, 0, 2).reshape(q_n, n_shards * k)
+        merged_vals, sel = jax.lax.top_k(cand_vals, k)
+        merged_idx = jnp.take_along_axis(cand_idx, sel, axis=-1)
+
+        # Label fetch via masked psum: only the owning shard contributes.
+        mine = (merged_idx >= start) & (merged_idx < start + shard_rows)
+        rows = jnp.where(mine, merged_idx - start, 0)
+        contrib = jnp.where(mine[..., None], jnp.take(labels_l, rows, axis=0), 0.0)
+        merged_labels = jax.lax.psum(contrib, bank_axis)
+        return merged_vals, merged_idx, merged_labels
+
+    in_specs = (
+        P(*[None] * queries.ndim),  # queries replicated
+        P(bank_axis),
+        P(bank_axis),
+        P(),  # valid rows scalar
+    )
+    out_specs = (P(), P(), P())
+    fn = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    del other
+    return fn(queries, bank, labels, valid_rows.reshape(1))
