@@ -49,19 +49,38 @@ class FolderBackend:
 
 
 class TarBackend:
-    """Reads members from a tar archive with one lazily-opened handle per
-    thread (workers never share a handle)."""
+    """Reads members from a tar archive.
+
+    Fast path (uncompressed tars): the native C++ header scan
+    (native/hbird_native.cpp) builds a name -> (offset, size) index once;
+    member payloads are then served by pread(2) on a per-thread file
+    descriptor — no Python header parsing on the hot path. Compressed tars
+    or a missing native library fall back to one lazily-opened tarfile
+    handle per thread.
+    """
 
     def __init__(self, tar_path: str):
         self.tar_path = tar_path
         self._local = threading.local()
-        # One up-front scan for member names (offsets cached by tarfile on
-        # each per-thread open; the scan result is shared read-only).
-        with tarfile.open(tar_path, "r:*") as t:
-            self.members: List[str] = [
-                norm_member(m.name) for m in t.getmembers() if m.isfile()
-            ]
+        self._index: Optional[Dict[str, tuple]] = None
+        if tar_path.lower().endswith(".tar"):
+            try:
+                from hbird_tpu.utils import native
 
+                entries = native.tar_index(tar_path)
+                self._index = {
+                    norm_member(name): (off, size)
+                    for name, off, size, tf in entries
+                    if tf in ("0", "\x00")
+                }
+                self.members: List[str] = sorted(self._index)
+                return
+            except Exception:
+                self._index = None
+        with tarfile.open(tar_path, "r:*") as t:
+            self.members = [norm_member(m.name) for m in t.getmembers() if m.isfile()]
+
+    # -- python tarfile fallback ------------------------------------------
     def _tar(self) -> tarfile.TarFile:
         t = getattr(self._local, "tar", None)
         if t is None:
@@ -69,7 +88,23 @@ class TarBackend:
             self._local.tar = t
         return t
 
+    # -- native pread path --------------------------------------------------
+    def _fd(self) -> int:
+        fd = getattr(self._local, "fd", None)
+        if fd is None:
+            fd = os.open(self.tar_path, os.O_RDONLY)
+            self._local.fd = fd
+        return fd
+
     def read(self, member: str) -> bytes:
+        if self._index is not None:
+            entry = self._index.get(member) or self._index.get(
+                norm_member(member)
+            )
+            if entry is None:
+                raise FileNotFoundError(f"{member} not in {self.tar_path}")
+            offset, size = entry
+            return os.pread(self._fd(), size, offset)
         t = self._tar()
         try:
             f = t.extractfile(member)
@@ -90,6 +125,10 @@ class TarBackend:
         if t is not None:
             t.close()
             self._local.tar = None
+        fd = getattr(self._local, "fd", None)
+        if fd is not None:
+            os.close(fd)
+            self._local.fd = None
 
 
 def make_backend(root: str):

@@ -61,6 +61,7 @@ from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
 from hbird_tpu.nn.search_exact import NearestNeighborSearchExact
 from hbird_tpu.utils.eval_metrics import PredsmIoU, confusion_matrix
 from hbird_tpu.utils.logging import get_logger
+from hbird_tpu.utils.profiling import PhaseTimer, maybe_trace
 
 logger = get_logger(__name__)
 
@@ -144,6 +145,7 @@ class HbirdEvaluation:
         self.bf16_bank = bf16_bank
         self._key = jax.random.PRNGKey(seed)
         self._eval_step_cache: Dict[Tuple, Any] = {}
+        self.timer = PhaseTimer()
 
         self.num_sampled_features: Optional[int] = None
         eval_spatial_resolution = feature_extractor.eval_spatial_resolution
@@ -169,18 +171,22 @@ class HbirdEvaluation:
             )
             self.label_memory = np.zeros((memory_size, num_classes), np.float32)
 
-        filled = self._create_memory(
-            train_loader,
-            num_classes=num_classes,
-            eval_spatial_resolution=eval_spatial_resolution,
-        )
+        with self.timer.phase("memory_build"), maybe_trace("memory_build"):
+            filled = self._create_memory(
+                train_loader,
+                num_classes=num_classes,
+                eval_spatial_resolution=eval_spatial_resolution,
+            )
         if memory_size is not None and filled is not None and filled < memory_size:
             logger.info("Trimming memory %d -> %d rows", memory_size, filled)
             self.feature_memory = self.feature_memory[:filled]
             self.label_memory = self.label_memory[:filled]
 
         self._save_memory()
-        self._create_nn(self.n_neighbours, nn_method=self.nn_method, **self.nn_params)
+        with self.timer.phase("index_build"):
+            self._create_nn(
+                self.n_neighbours, nn_method=self.nn_method, **self.nn_params
+            )
 
     # ------------------------------------------------------------------
     # Memory construction
@@ -380,6 +386,8 @@ class HbirdEvaluation:
         logger.info("Starting evaluation loop...")
         t0 = time.time()
         n_imgs = 0
+        eval_phase = self.timer.phase("evaluate")
+        eval_phase.__enter__()
         for x, y in tqdm(val_loader, desc="Evaluation loop"):
             x = np.asarray(x, np.float32)
             y = np.asarray(y, np.float32)
@@ -414,6 +422,8 @@ class HbirdEvaluation:
                 knns_labels.append(np.asarray(kl)[:valid])
                 knns_ca_labels.append(np.asarray(ca)[:valid])
 
+        eval_phase.__exit__(None, None, None)
+        self.timer.add_items("evaluate", n_imgs)
         dt = time.time() - t0
         logger.info(
             "Evaluation loop done: %d images in %.1fs (%.2f img/s)",
@@ -421,9 +431,10 @@ class HbirdEvaluation:
             dt,
             n_imgs / max(dt, 1e-9),
         )
-        jac, tp, fp, fn, reordered_preds, matched_bg_clusters = metric.compute(
-            is_global_zero=True
-        )
+        with self.timer.phase("metric_compute"):
+            jac, tp, fp, fn, reordered_preds, matched_bg_clusters = metric.compute(
+                is_global_zero=True
+            )
         if return_knn_details:
             details_out = {
                 "knns": np.concatenate(knns) if knns else np.zeros((0,)),
@@ -539,9 +550,11 @@ def hbird_evaluation(
     # non-default value (reference hbird_eval.py:714-715).
     effective_ignore = ignore_index if ignore_index != 255 else ignore_index_local
 
-    return evaluator.evaluate(
+    result = evaluator.evaluate(
         val_loader,
         eval_spatial_resolution=eval_spatial_resolution,
         return_knn_details=return_knn_details,
         ignore_index=effective_ignore,
     )
+    logger.info("Phase stats: %s", evaluator.timer.summary())
+    return result

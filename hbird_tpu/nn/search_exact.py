@@ -36,8 +36,9 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         devices=None,
         mesh=None,
         label_memory=None,
-        query_block: int = 1024,
-        bank_block: int = 8192,
+        query_block: Optional[int] = None,
+        bank_block: Optional[int] = None,
+        kernel: str = "xla",
         **kwargs,
     ):
         self.use_fp16 = use_fp16
@@ -45,8 +46,10 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         self.devices = devices
         self.mesh = mesh
         self.label_memory = label_memory
-        self.query_block = int(query_block)
-        self.bank_block = int(bank_block)
+        self.kernel = kernel
+        # Pallas tiles both dimensions in VMEM; keep the scores tile small.
+        self.query_block = int(query_block or (512 if kernel == "pallas" else 1024))
+        self.bank_block = int(bank_block or (2048 if kernel == "pallas" else 8192))
         super().__init__(feature_memory, n_neighbors, distance_measure)
 
     # ------------------------------------------------------------------
@@ -94,6 +97,7 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
             distance=self.distance_measure,
             query_block=self.query_block,
             bank_block=self.bank_block,
+            kernel=self.kernel,
         )
 
     def find_nearest_neighbors(

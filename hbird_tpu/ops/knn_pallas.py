@@ -1,0 +1,236 @@
+"""Pallas fused matmul + streaming-top-k kNN kernel.
+
+The performance core of the framework: replaces Faiss GpuIndexFlat*
+(reference hbird/nn/search_faiss.py:34-48) with a single TPU kernel that
+never materializes the (Q, M) score matrix in HBM.
+
+Kernel structure (see /opt/skills/guides/pallas_guide.md):
+- grid = (Q tiles, bank tiles); the bank dimension is innermost and
+  "arbitrary" (sequential reduction), Q tiles are "parallel" (megacores).
+- per step: scores = q_tile @ bank_tileᵀ on the MXU (f32 accumulation),
+  then a replace-min insertion merge into a running top-k held in VMEM
+  scratch (values + global indices), analogous to flash attention's
+  running (m, l, acc) statistics.
+- the merge loop is PREDICATED on `tile_max > running_min`: once the
+  running k-th best exceeds everything in a tile (the common case after a
+  few tiles), the tile costs one row-max pass on the VPU beyond its
+  matmul.
+- outputs are unsorted top-k (softmax label transfer is order-invariant);
+  `pallas_knn(..., sorted=True)` applies a final (Q, k) lax.top_k for the
+  Faiss-parity sorted API.
+
+Scale note: on a mesh, this kernel runs per bank shard inside
+hbird_tpu/parallel/sharded_knn.py's shard_map.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _knn_kernel(
+    valid_ref,  # SMEM (1,) int32 — number of real bank rows
+    q_ref,  # (BLOCK_Q, D)
+    bank_ref,  # (BLOCK_M, D)
+    vals_out_ref,  # (BLOCK_Q, K_PAD)
+    idx_out_ref,  # (BLOCK_Q, K_PAD)
+    vals_ref,  # scratch (BLOCK_Q, K_PAD) f32
+    idx_ref,  # scratch (BLOCK_Q, K_PAD) i32
+    *,
+    k_pad: int,
+    block_m: int,
+    n_bank_tiles: int,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        vals_ref[...] = jnp.full_like(vals_ref, NEG_INF)
+        idx_ref[...] = jnp.zeros_like(idx_ref)
+
+    # ── scores tile on the MXU ──
+    s = jax.lax.dot_general(
+        q_ref[...],
+        bank_ref[...],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLOCK_Q, BLOCK_M)
+    base = j * block_m
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
+    s = jnp.where(col < valid_ref[0], s, NEG_INF)
+
+    # ── streaming merge: insert tile candidates into the running top-k ──
+    def merge_body(_, carry):
+        s_cur = carry
+        run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)  # (Q,1)
+        cur_max = jnp.max(s_cur, axis=1, keepdims=True)  # (Q,1)
+        better = cur_max > run_min  # (Q,1)
+
+        # argmax of the tile row (lowest column on ties)
+        big = jnp.int32(2**30)
+        cand_col = jnp.min(
+            jnp.where(s_cur >= cur_max, col, big), axis=1, keepdims=True
+        )  # (Q,1) global col id
+        # argmin of the running top-k row
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+        min_slot = jnp.min(
+            jnp.where(vals_ref[...] <= run_min, slot_ids, big),
+            axis=1,
+            keepdims=True,
+        )  # (Q,1)
+
+        # replace the min slot where the candidate is better
+        at_slot = slot_ids == min_slot
+        do = better & at_slot
+        vals_ref[...] = jnp.where(do, cur_max, vals_ref[...])
+        idx_ref[...] = jnp.where(do, cand_col, idx_ref[...])
+
+        # knock the extracted candidate out of the tile
+        s_cur = jnp.where((col == cand_col) & better, NEG_INF, s_cur)
+        return s_cur
+
+    def do_merge(s_cur):
+        # Up to k_pad insertions; stop early via predication when the tile
+        # has nothing better than the current k-th best.
+        def cond(carry):
+            s_c = carry[0]
+            run_min = jnp.min(vals_ref[...], axis=1)
+            cur_max = jnp.max(s_c, axis=1)
+            return jnp.logical_and(
+                carry[1] < k_pad, jnp.any(cur_max > run_min)
+            )
+
+        def body(carry):
+            s_c = merge_body(None, carry[0])
+            return (s_c, carry[1] + 1)
+
+        jax.lax.while_loop(cond, body, (s_cur, jnp.int32(0)))
+
+    # Skip the whole merge when the tile can't contribute (common case).
+    run_min_all = jnp.min(vals_ref[...], axis=1)
+    tile_max = jnp.max(s, axis=1)
+
+    @pl.when(jnp.any(tile_max > run_min_all))
+    def _():
+        do_merge(s)
+
+    @pl.when(j == n_bank_tiles - 1)
+    def _store():
+        vals_out_ref[...] = vals_ref[...]
+        idx_out_ref[...] = idx_ref[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_q", "block_m", "sorted_results", "interpret"),
+)
+def pallas_knn(
+    queries: jax.Array,
+    bank: jax.Array,
+    k: int,
+    *,
+    valid_rows: Optional[jax.Array | int] = None,
+    block_q: int = 512,
+    block_m: int = 1024,
+    sorted_results: bool = True,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k dot-product search, fused in one Pallas kernel.
+
+    Args:
+        queries: (Q, D) float32/bf16.
+        bank: (M, D) same dtype family; scores accumulate in f32.
+        k: neighbours per query (k <= 128 supported; padded internally).
+        valid_rows: real bank rows (defaults to M); padded rows never win.
+        block_q / block_m: tile sizes (Q padded to block_q, M to block_m).
+        sorted_results: sort the k results by descending score (Faiss
+            parity). Unsorted skips a final small top-k.
+
+    Returns:
+        (values, indices): (Q, k) f32 scores and int32 global row ids.
+    """
+    q_n, d = queries.shape
+    m, d2 = bank.shape
+    assert d == d2
+    assert k <= 128, "k > 128 not supported by the fused kernel"
+    if interpret is None:
+        # Mosaic only compiles on TPU; interpret transparently elsewhere
+        # (CPU tests, multichip dry-runs on virtual devices).
+        interpret = jax.default_backend() != "tpu"
+    if valid_rows is None:
+        valid_rows = m
+    valid_rows = jnp.asarray(valid_rows, jnp.int32).reshape(1)
+
+    k_pad = max(8, _round_up(k, 8))
+    block_q = min(block_q, _round_up(q_n, 8))
+    block_m = min(block_m, _round_up(m, 128))
+
+    q_pad = _round_up(q_n, block_q)
+    m_pad = _round_up(m, block_m)
+    if q_pad != q_n:
+        queries = jnp.pad(queries, ((0, q_pad - q_n), (0, 0)))
+    if m_pad != m:
+        bank = jnp.pad(bank, ((0, m_pad - m), (0, 0)))
+        valid_rows = jnp.minimum(valid_rows, m)
+
+    n_q_tiles = q_pad // block_q
+    n_bank_tiles = m_pad // block_m
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_q_tiles, n_bank_tiles),
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j, *_: (i, 0)),
+            pl.BlockSpec((block_m, d), lambda i, j, *_: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k_pad), lambda i, j, *_: (i, 0)),
+            pl.BlockSpec((block_q, k_pad), lambda i, j, *_: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, k_pad), jnp.float32),
+            pltpu.VMEM((block_q, k_pad), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _knn_kernel, k_pad=k_pad, block_m=block_m, n_bank_tiles=n_bank_tiles
+    )
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * m_pad * d,
+            bytes_accessed=q_pad * d * 4 + m_pad * d * 4 + q_pad * k_pad * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(valid_rows, queries, bank)
+
+    vals = vals[:q_n]
+    idx = idx[:q_n]
+    if sorted_results or k != k_pad:
+        # The scratch holds the top-k_pad as an unsorted set; selecting k of
+        # them needs a final (tiny) top-k even for unsorted output.
+        svals, sel = jax.lax.top_k(vals, k)
+        sidx = jnp.take_along_axis(idx, sel, axis=-1)
+        return svals, sidx
+    return vals, idx

@@ -78,6 +78,7 @@ def sharded_knn_with_labels(
     recall_target: float = 0.95,
     query_block: int = 1024,
     bank_block: int = 8192,
+    kernel: str = "xla",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Top-k search + label gather, single-device or mesh-sharded.
 
@@ -97,12 +98,25 @@ def sharded_knn_with_labels(
     if valid_rows is None:
         valid_rows = bank.shape[0]
     valid_rows = jnp.asarray(valid_rows, jnp.int32)
-    search = approx_knn if approx else exact_knn
-    search_kwargs = dict(
-        distance=distance, query_block=query_block, bank_block=bank_block
-    )
-    if approx:
-        search_kwargs["recall_target"] = recall_target
+    if kernel == "pallas" and not approx:
+        if distance != "dot_product":
+            raise ValueError("pallas kernel currently supports dot_product only")
+        from hbird_tpu.ops.knn_pallas import pallas_knn
+
+        def search(q, b, k_, valid_rows, **_):
+            return pallas_knn(
+                q, b, k_, valid_rows=valid_rows,
+                block_q=query_block, block_m=bank_block,
+            )
+
+        search_kwargs = {}
+    else:
+        search = approx_knn if approx else exact_knn
+        search_kwargs = dict(
+            distance=distance, query_block=query_block, bank_block=bank_block
+        )
+        if approx:
+            search_kwargs["recall_target"] = recall_target
 
     if mesh is None or mesh.shape.get(bank_axis, 1) == 1:
         vals, idx = search(queries, bank, k, valid_rows=valid_rows, **search_kwargs)

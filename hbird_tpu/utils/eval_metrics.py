@@ -42,10 +42,15 @@ _CHUNK = 1 << 20  # pixels per on-device one-hot matmul chunk
 
 
 def linear_sum_assignment(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Hungarian assignment; scipy when available, pure-numpy fallback."""
+    """Hungarian assignment: scipy > native C++ (utils/native.py) > numpy."""
     if _SCIPY_AVAILABLE:
         return _scipy_lsa(cost)
-    return _np_hungarian(cost)
+    try:
+        from hbird_tpu.utils import native
+
+        return native.hungarian(cost)
+    except Exception:
+        return _np_hungarian(cost)
 
 
 @functools.partial(jax.jit, static_argnames=("num_gt", "num_pred", "ignore_index"))

@@ -1,0 +1,77 @@
+"""Pallas fused kNN kernel vs brute force (interpret mode on CPU; the
+same kernel compiles natively on TPU — benchmarked in bench.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hbird_tpu.ops.knn_pallas import pallas_knn
+
+
+def _brute(q, bank, k):
+    scores = q @ bank.T
+    idx = np.argsort(-scores, axis=-1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=-1), idx
+
+
+class TestPallasKNN:
+    @pytest.mark.parametrize(
+        "q_n,m,d,k,block_q,block_m",
+        [
+            (16, 256, 32, 5, 8, 64),
+            (30, 500, 16, 7, 16, 128),  # ragged everything
+            (8, 128, 8, 8, 8, 128),
+        ],
+    )
+    def test_matches_brute_force(self, q_n, m, d, k, block_q, block_m):
+        rng = np.random.default_rng(q_n + m)
+        q = rng.normal(size=(q_n, d)).astype(np.float32)
+        bank = rng.normal(size=(m, d)).astype(np.float32)
+        vals, idx = pallas_knn(
+            jnp.asarray(q),
+            jnp.asarray(bank),
+            k,
+            block_q=block_q,
+            block_m=block_m,
+            interpret=True,
+        )
+        ref_vals, ref_idx = _brute(q, bank, k)
+        np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+        # Values decide; ties may order differently across tiles.
+        same = np.asarray(idx) == ref_idx
+        tied = np.isclose(np.asarray(vals), ref_vals)
+        assert np.all(same | tied)
+
+    def test_valid_rows_masking(self):
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        bank = rng.normal(size=(200, 16)).astype(np.float32)
+        padded = np.concatenate([bank, 50 * np.ones((56, 16), np.float32)])
+        vals, idx = pallas_knn(
+            jnp.asarray(q),
+            jnp.asarray(padded),
+            4,
+            valid_rows=200,
+            block_q=8,
+            block_m=128,
+            interpret=True,
+        )
+        assert int(np.asarray(idx).max()) < 200
+        ref_vals, ref_idx = _brute(q, bank, 4)
+        np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5)
+
+    def test_unsorted_same_set(self):
+        # k == k_pad (8): the raw unsorted buffer is exactly the top-k set.
+        rng = np.random.default_rng(1)
+        q = rng.normal(size=(8, 8)).astype(np.float32)
+        bank = rng.normal(size=(256, 8)).astype(np.float32)
+        _, idx_sorted = pallas_knn(
+            jnp.asarray(q), jnp.asarray(bank), 8, block_q=8, block_m=128,
+            interpret=True,
+        )
+        _, idx_uns = pallas_knn(
+            jnp.asarray(q), jnp.asarray(bank), 8, block_q=8, block_m=128,
+            sorted_results=False, interpret=True,
+        )
+        for r in range(8):
+            assert set(np.asarray(idx_uns)[r]) == set(np.asarray(idx_sorted)[r])

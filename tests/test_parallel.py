@@ -78,3 +78,30 @@ class TestShardedKNN:
         idx = step(jnp.asarray(q))
         _, ref_idx = exact_knn(jnp.asarray(q), jnp.asarray(bank), k)
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+class TestPallasShardedKNN:
+    def test_pallas_kernel_sharded(self, problem):
+        q, bank, labels, k = problem
+        mesh = make_mesh((4,), ("bank",))
+        bank_s, labels_s, valid = shard_bank(bank, labels, mesh)
+        vals, idx, lbls = sharded_knn_with_labels(
+            jnp.asarray(q), bank_s, labels_s, k, mesh=mesh, valid_rows=valid,
+            kernel="pallas", query_block=64, bank_block=128,
+        )
+        ref_vals, ref_idx = exact_knn(jnp.asarray(q), jnp.asarray(bank), k)
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(ref_vals), rtol=1e-5, atol=1e-5
+        )
+        same = np.asarray(idx) == np.asarray(ref_idx)
+        tied = np.isclose(np.asarray(vals), np.asarray(ref_vals))
+        assert np.all(same | tied)
+
+    def test_pallas_kernel_single_device(self, problem):
+        q, bank, labels, k = problem
+        vals, idx, lbls = sharded_knn_with_labels(
+            jnp.asarray(q), jnp.asarray(bank), jnp.asarray(labels), k,
+            kernel="pallas", query_block=64, bank_block=128,
+        )
+        _, ref_idx = exact_knn(jnp.asarray(q), jnp.asarray(bank), k)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
