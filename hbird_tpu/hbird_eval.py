@@ -83,6 +83,23 @@ def _pad_batch(x: np.ndarray, batch_size: int) -> Tuple[np.ndarray, int]:
     return np.concatenate([x, pad]), n
 
 
+def _data_sharded_jit(step, mesh):
+    """jit a (imgs, masks[, key]) step with batches sharded over the mesh's
+    'data' axis (data parallelism for the backbone forward); no-op jit when
+    the mesh has no data axis."""
+    import inspect
+
+    if mesh is None or mesh.shape.get("data", 1) <= 1:
+        return jax.jit(step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    n_args = len(inspect.signature(step).parameters)
+    in_shardings = (data, data) + (repl,) * (n_args - 2)
+    return jax.jit(step, in_shardings=in_shardings)
+
+
 class HbirdEvaluation:
     """Build the memory bank, then evaluate retrieval-based segmentation.
 
@@ -191,6 +208,12 @@ class HbirdEvaluation:
     # ------------------------------------------------------------------
     # Memory construction
     # ------------------------------------------------------------------
+    def _pad_target(self, n: int) -> int:
+        """Compiled batch size: first-batch size rounded up so it divides
+        evenly over the mesh's data axis."""
+        d = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        return ((n + d - 1) // d) * d
+
     def _make_memory_step(self):
         fe = self.feature_extractor
         num_classes = self.num_classes
@@ -218,7 +241,9 @@ class HbirdEvaluation:
             lbl = jnp.take_along_axis(lbl, idx[..., None].astype(jnp.int32), axis=1)
             return normed.reshape(-1, sampled.shape[-1]), lbl.reshape(-1, num_classes)
 
-        return jax.jit(step) if getattr(fe, "jittable", True) else step
+        if not getattr(fe, "jittable", True):
+            return step
+        return _data_sharded_jit(step, self.mesh)
 
     def _create_memory(
         self, train_loader, num_classes: int, eval_spatial_resolution: int
@@ -236,7 +261,7 @@ class HbirdEvaluation:
                 x = np.asarray(x, np.float32)
                 y = np.asarray(y, np.float32)
                 if batch_size is None:
-                    batch_size = x.shape[0]
+                    batch_size = self._pad_target(x.shape[0])
                 x, valid = _pad_batch(x, batch_size)
                 y, _ = _pad_batch(y, batch_size)
                 self._key, sub = jax.random.split(self._key)
@@ -364,7 +389,9 @@ class HbirdEvaluation:
                                        label_hat)
             return conf, pred, y, None
 
-        return jax.jit(step) if getattr(fe, "jittable", True) else step
+        if not getattr(fe, "jittable", True):
+            return step
+        return _data_sharded_jit(step, self.mesh)
 
     def evaluate(
         self,
@@ -392,7 +419,7 @@ class HbirdEvaluation:
             x = np.asarray(x, np.float32)
             y = np.asarray(y, np.float32)
             if batch_size is None:
-                batch_size = x.shape[0]
+                batch_size = self._pad_target(x.shape[0])
             x, valid = _pad_batch(x, batch_size)
             # Padded images: force all-ignore GT so they don't touch the metric.
             y_pad = np.full(

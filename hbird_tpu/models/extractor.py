@@ -62,6 +62,12 @@ class FeatureExtractorSimple:
     def __call__(self, imgs):
         return self.forward_features(imgs)
 
+    def freeze_feature_extractor(self, unfreeze_layers=None, regex=False):
+        """No-op for API parity: hbird_tpu backbones are parameter pytrees
+        used purely functionally — nothing ever trains or unfreezes
+        (reference hbird/models.py:237-255 exists for torch autograd)."""
+        return None
+
 
 class FeatureExtractor:
     """Extractor over an hbird_tpu ViT backbone.
@@ -109,6 +115,19 @@ class FeatureExtractor:
         maxs = attn.max(-1, keepdims=True)
         attn = (attn - mins) / jnp.maximum(maxs - mins, 1e-12)
         return out["x_norm_patchtokens"], attn
+
+    def get_intermediate_layer_feats(
+        self, imgs, feat: str = "k", layer_num: int = -1
+    ):
+        """Q/K/V features of an intermediate layer + normalized CLS
+        attention (reference hbird/models.py:257-321 equivalent)."""
+        feats = self.vit.qkv_features(self.params, imgs, feat=feat, layer_num=layer_num)
+        _, attn = self.forward_features_with_attention(imgs)
+        return feats, attn
+
+    def freeze_feature_extractor(self, unfreeze_layers=None, regex=False):
+        """No-op for API parity (params are frozen by construction)."""
+        return None
 
     def __call__(self, imgs):
         return self.forward_features(imgs)

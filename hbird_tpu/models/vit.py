@@ -48,6 +48,9 @@ class ViTConfig:
     qkv_bias: bool = True
     ln_eps: float = 1e-6
     compute_dtype: Any = jnp.float32
+    # 'xla' = einsum attention; 'flash' = Pallas fused flash attention
+    # (TPU only; sequences padded to a 128 multiple with segment masking).
+    attention_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:
@@ -239,6 +242,33 @@ def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float):
     return (y * scale + bias).astype(x.dtype)
 
 
+def _flash_attention(q, k, v, scale: float) -> jax.Array:
+    """Fused flash attention (Pallas) with padding via segment ids.
+
+    q/k/v: (B, H, N, hd). Pads N to a multiple of 512 so the default
+    (block_q=512, block_k=512) tiling applies; padded key tokens are masked
+    out by segment ids and padded query rows are discarded.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, h, n, hd = q.shape
+    n_pad = ((n + 511) // 512) * 512
+    if n_pad != n:
+        pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        ids = (jax.lax.broadcasted_iota(jnp.int32, (b, n_pad), 1) < n).astype(
+            jnp.int32
+        )
+        seg = SegmentIds(q=ids, kv=ids)
+    else:
+        seg = None
+    out = flash_attention(q, k, v, segment_ids=seg, sm_scale=scale)
+    return out[:, :, :n, :]
+
+
 def _attention(
     x: jax.Array, blk: Dict[str, jax.Array], cfg: ViTConfig, return_weights: bool
 ):
@@ -252,6 +282,21 @@ def _attention(
     qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)  # (3,B,H,N,hd)
     q, k, v = qkv[0], qkv[1], qkv[2]
     scale = hd**-0.5
+    use_flash = (
+        cfg.attention_impl == "flash"
+        and not return_weights
+        and jax.default_backend() == "tpu"
+    )
+    if use_flash:
+        out = _flash_attention(q, k, v, scale)
+        attn = None
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        out = (
+            jnp.einsum("bnd,de->bne", out, blk["proj_w"].astype(x.dtype),
+                       preferred_element_type=x.dtype)
+            + blk["proj_b"].astype(x.dtype)
+        )
+        return out, None
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
     )
@@ -429,6 +474,51 @@ class ViT:
             "x_norm_clstoken": x[:, 0],
             "attn": attn,
         }
+
+    def qkv_features(
+        self,
+        params: Dict[str, Any],
+        imgs: jax.Array,
+        feat: str = "k",
+        layer_num: int = -1,
+    ) -> jax.Array:
+        """Q/K/V token features of an intermediate attention layer.
+
+        The functional equivalent of the reference's forward-hook QKV
+        extraction (hbird/models.py:257-321): returns the chosen projection
+        of block `layer_num`'s attention input, heads re-concatenated,
+        prefix (CLS/register) tokens dropped.
+
+        Returns:
+            (B, N_patches, D) features.
+        """
+        assert feat in ("q", "k", "v")
+        cfg = self.config
+        layer = layer_num % cfg.depth
+        x = _embed(params, imgs, cfg)
+        blocks = params["blocks"]
+
+        if layer > 0:
+            head = jax.tree.map(lambda a: a[:layer], blocks)
+
+            def body(carry, blk):
+                carry, _ = _block(carry, blk, cfg)
+                return carry, None
+
+            x, _ = jax.lax.scan(body, x, head)
+
+        blk = jax.tree.map(lambda a: a[layer], blocks)
+        y = _layer_norm(x, blk["norm1_scale"], blk["norm1_bias"], cfg.ln_eps)
+        qkv = (
+            jnp.einsum("bnd,de->bne", y, blk["qkv_w"].astype(y.dtype),
+                       preferred_element_type=y.dtype)
+            + blk["qkv_b"].astype(y.dtype)
+        )
+        b, n, _ = qkv.shape
+        sel = {"q": 0, "k": 1, "v": 2}[feat]
+        out = qkv.reshape(b, n, 3, cfg.width)[:, :, sel]
+        n_prefix = 1 + cfg.num_register_tokens
+        return out[:, n_prefix:].astype(jnp.float32)
 
     def cls_attention(self, params, imgs) -> jax.Array:
         """Normalized CLS->patch attention of the last layer, min-max scaled

@@ -48,6 +48,7 @@ def _knn_kernel(
     idx_out_ref,  # (BLOCK_Q, K_PAD)
     vals_ref,  # scratch (BLOCK_Q, K_PAD) f32
     idx_ref,  # scratch (BLOCK_Q, K_PAD) i32
+    s_ref,  # scratch (BLOCK_Q, BLOCK_M) f32 — mutable scores tile
     *,
     k_pad: int,
     block_m: int,
@@ -60,20 +61,21 @@ def _knn_kernel(
         vals_ref[...] = jnp.full_like(vals_ref, NEG_INF)
         idx_ref[...] = jnp.zeros_like(idx_ref)
 
-    # ── scores tile on the MXU ──
+    # ── scores tile on the MXU, written to a mutable VMEM scratch so the
+    # merge loop can knock out extracted candidates in place (no functional
+    # copies of the tile inside the while_loop) ──
+    base = j * block_m
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], block_m), 1) + base
     s = jax.lax.dot_general(
         q_ref[...],
         bank_ref[...],
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BLOCK_Q, BLOCK_M)
-    base = j * block_m
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-    s = jnp.where(col < valid_ref[0], s, NEG_INF)
+    )
+    s_ref[...] = jnp.where(col < valid_ref[0], s, NEG_INF)
 
-    # ── streaming merge: insert tile candidates into the running top-k ──
-    def merge_body(_, carry):
-        s_cur = carry
+    def merge_step():
+        s_cur = s_ref[...]
         run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)  # (Q,1)
         cur_max = jnp.max(s_cur, axis=1, keepdims=True)  # (Q,1)
         better = cur_max > run_min  # (Q,1)
@@ -92,39 +94,34 @@ def _knn_kernel(
         )  # (Q,1)
 
         # replace the min slot where the candidate is better
-        at_slot = slot_ids == min_slot
-        do = better & at_slot
+        do = better & (slot_ids == min_slot)
         vals_ref[...] = jnp.where(do, cur_max, vals_ref[...])
         idx_ref[...] = jnp.where(do, cand_col, idx_ref[...])
 
-        # knock the extracted candidate out of the tile
-        s_cur = jnp.where((col == cand_col) & better, NEG_INF, s_cur)
-        return s_cur
+        # knock the extracted candidate out of the tile (in place)
+        s_ref[...] = jnp.where((col == cand_col) & better, NEG_INF, s_cur)
 
-    def do_merge(s_cur):
-        # Up to k_pad insertions; stop early via predication when the tile
-        # has nothing better than the current k-th best.
-        def cond(carry):
-            s_c = carry[0]
+    def do_merge():
+        # Up to k_pad insertions; stop early when the tile has nothing
+        # better than the current k-th best.
+        def cond(i):
             run_min = jnp.min(vals_ref[...], axis=1)
-            cur_max = jnp.max(s_c, axis=1)
-            return jnp.logical_and(
-                carry[1] < k_pad, jnp.any(cur_max > run_min)
-            )
+            cur_max = jnp.max(s_ref[...], axis=1)
+            return jnp.logical_and(i < k_pad, jnp.any(cur_max > run_min))
 
-        def body(carry):
-            s_c = merge_body(None, carry[0])
-            return (s_c, carry[1] + 1)
+        def body(i):
+            merge_step()
+            return i + 1
 
-        jax.lax.while_loop(cond, body, (s_cur, jnp.int32(0)))
+        jax.lax.while_loop(cond, body, jnp.int32(0))
 
     # Skip the whole merge when the tile can't contribute (common case).
     run_min_all = jnp.min(vals_ref[...], axis=1)
-    tile_max = jnp.max(s, axis=1)
+    tile_max = jnp.max(s_ref[...], axis=1)
 
     @pl.when(jnp.any(tile_max > run_min_all))
     def _():
-        do_merge(s)
+        do_merge()
 
     @pl.when(j == n_bank_tiles - 1)
     def _store():
@@ -202,10 +199,17 @@ def pallas_knn(
         scratch_shapes=[
             pltpu.VMEM((block_q, k_pad), jnp.float32),
             pltpu.VMEM((block_q, k_pad), jnp.int32),
+            pltpu.VMEM((block_q, block_m), jnp.float32),
         ],
     )
     kernel = functools.partial(
         _knn_kernel, k_pad=k_pad, block_m=block_m, n_bank_tiles=n_bank_tiles
+    )
+    itemsize = jnp.dtype(queries.dtype).itemsize
+    vmem_bytes = (
+        2 * (block_q + block_m) * d * itemsize  # double-buffered input tiles
+        + 2 * block_q * block_m * 4  # scores scratch + headroom for temps
+        + 4 * block_q * k_pad * 8
     )
     vals, idx = pl.pallas_call(
         kernel,
@@ -216,6 +220,7 @@ def pallas_knn(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=min(int(vmem_bytes * 1.5), 100 * 1024 * 1024),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * m_pad * d,

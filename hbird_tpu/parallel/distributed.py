@@ -1,0 +1,87 @@
+"""Multi-host (pod) execution helpers.
+
+The reference has no multi-node story (SURVEY §5: an uninitialized
+torch.distributed hook and Lightning-style is_global_zero gating,
+reference hbird/utils/eval_metrics.py:246-252). TPU pods are multi-host by
+construction, so the framework provides the real thing:
+
+- `initialize()`: jax.distributed.initialize wrapper (no-op when
+  single-process or already initialized).
+- `is_global_zero()`: process_index == 0 gating (the Lightning
+  convention's equivalent).
+- `global_mesh()`: mesh spanning all pod devices (ICI within hosts, DCN
+  across), bank axis innermost so shard-merge collectives ride ICI.
+- `sync_conf_mat()`: cross-process confusion-matrix reduction — the
+  reference's dormant all_reduce hook, made real.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from hbird_tpu.parallel.mesh import make_mesh
+from hbird_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the JAX distributed runtime (idempotent).
+
+    With no arguments, relies on TPU pod auto-detection (the common case on
+    Cloud TPU). Safe to call in single-process runs — it no-ops.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        logger.info(
+            "distributed: process %d/%d, %d local / %d global devices",
+            jax.process_index(),
+            jax.process_count(),
+            jax.local_device_count(),
+            jax.device_count(),
+        )
+    except (RuntimeError, ValueError) as e:
+        logger.info("distributed init skipped (%s)", e)
+
+
+def is_global_zero() -> bool:
+    """Rank-0 gating (reference eval_metrics.py:246-248 convention)."""
+    return jax.process_index() == 0
+
+
+def global_mesh(bank_axis_size: Optional[int] = None):
+    """Mesh over all pod devices as ('data', 'bank').
+
+    The bank axis defaults to the per-host device count so the per-batch
+    shard-merge all_gather/psum stays on ICI; the data axis spans hosts
+    (DCN) and only carries the per-batch confusion-matrix reduction.
+    """
+    n = jax.device_count()
+    bank = bank_axis_size or jax.local_device_count()
+    assert n % bank == 0
+    return make_mesh((n // bank, bank), ("data", "bank"))
+
+
+def sync_conf_mat(conf: np.ndarray) -> np.ndarray:
+    """Sum a host-side confusion matrix across processes."""
+    if jax.process_count() == 1:
+        return conf
+    from jax.experimental import multihost_utils
+
+    import jax.numpy as jnp
+
+    gathered = multihost_utils.process_allgather(jnp.asarray(conf, jnp.int64))
+    return np.asarray(gathered.sum(axis=0), np.int64)

@@ -232,3 +232,27 @@ class TestEndToEnd:
             num_workers=2,
         )
         assert float(miou) >= 0.4 * ceiling, (miou, ceiling)
+
+    def test_2d_mesh_data_and_bank(self, voc_color):
+        # Full engine over a ('data','bank') mesh: batches sharded over
+        # 'data', bank rows over 'bank'; result must match single-device.
+        from hbird_tpu.data import get_dataset
+        from hbird_tpu.data.transforms import get_hbird_val_transforms
+
+        va = get_hbird_val_transforms(INPUT)
+        fe = FeatureExtractorSimple(None, oracle_fn, eval_spatial_resolution=S, d_model=3)
+
+        def build(mesh):
+            import random
+
+            random.seed(0)
+            ds, _ = get_dataset("voc", voc_color, 4, 0, va, va, None, None)
+            ev = HbirdEvaluation(
+                fe, ds.train_dataloader(), num_classes=21, n_neighbours=5,
+                mesh=mesh, seed=7,
+            )
+            return ev.evaluate(ds.val_dataloader(), S, ignore_index=255)
+
+        miou_single = build(None)
+        miou_2d = build(make_mesh((2, 4), ("data", "bank")))
+        assert miou_single == pytest.approx(miou_2d, abs=1e-6)

@@ -227,3 +227,46 @@ class TestExtractors:
         params32 = vit.prepare_params(params, 32)
         out = vit.apply(params32, jnp.zeros((1, 3, 32, 32)))
         assert out["x_norm_patchtokens"].shape == (1, 64, 32)
+
+
+class TestQKVFeatures:
+    def test_layer0_v_matches_torch(self):
+        """v-features of block 0 == Linear_v(LN(conv-embed + pos))."""
+        import torch.nn.functional as tF
+
+        torch.manual_seed(5)
+        d, p, grid, heads = 32, 4, 4, 2
+        helper = TestTimmStyleConversion()
+        sd = helper._torch_timm_block_sd(depth=2, d=d, heads=heads, p=p, grid=grid)
+        from hbird_tpu.models.convert import convert_timm_vit
+        import dataclasses
+
+        params, cfg = convert_timm_vit({k: v.numpy() for k, v in sd.items()})
+        cfg = dataclasses.replace(cfg, num_heads=heads)
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(2, 3, grid * p, grid * p)).astype(np.float32)
+
+        with torch.no_grad():
+            xt = torch.from_numpy(x)
+            tok = tF.conv2d(
+                xt, sd["patch_embed.proj.weight"], sd["patch_embed.proj.bias"], stride=p
+            ).flatten(2).transpose(1, 2)
+            tok = torch.cat([sd["cls_token"].expand(2, -1, -1), tok], 1) + sd["pos_embed"]
+            y = tF.layer_norm(tok, (d,), sd["blocks.0.norm1.weight"],
+                              sd["blocks.0.norm1.bias"], eps=1e-6)
+            qkv = y @ sd["blocks.0.attn.qkv.weight"].T + sd["blocks.0.attn.qkv.bias"]
+            v_ref = qkv[..., 2 * d :][:, 1:].numpy()
+
+        vit = ViT(cfg)
+        v_ours = np.asarray(vit.qkv_features(params, jnp.asarray(x), feat="v", layer_num=0))
+        np.testing.assert_allclose(v_ours, v_ref, rtol=1e-4, atol=1e-5)
+
+    def test_last_layer_k_shape_and_extractor(self):
+        cfg = ViTConfig(patch_size=4, width=32, depth=3, num_heads=2, img_size=16)
+        vit = ViT(cfg)
+        params = vit.init(jax.random.PRNGKey(1))
+        fe = FeatureExtractor(vit, params)
+        feats, attn = fe.get_intermediate_layer_feats(jnp.zeros((2, 3, 16, 16)), feat="k")
+        assert feats.shape == (2, 16, 32)
+        assert attn.shape == (2, 16)
+        assert fe.freeze_feature_extractor() is None
