@@ -250,11 +250,31 @@ class HbirdEvaluation:
     ) -> Optional[int]:
         step = self._make_memory_step()
         bounded = self.memory_size is not None
+        # Bounded banks accumulate ON DEVICE via a donated
+        # dynamic_update_slice — feature slabs never round-trip to host
+        # during the build (the reference pulls every batch to CPU,
+        # hbird_eval.py:328-355). Unbounded banks may exceed HBM and go to
+        # host; mesh-sharded banks are assembled host-side then placed.
+        device_accum = (
+            bounded
+            and self.mesh is None
+            and getattr(self.feature_extractor, "jittable", True)
+        )
         feature_chunks: List[np.ndarray] = []
         label_chunks: List[np.ndarray] = []
         idx = 0
         batch_size: Optional[int] = None
         t0 = time.time()
+
+        if device_accum:
+            dev_feats = jnp.zeros(
+                (self.memory_size, self.feature_extractor.d_model), jnp.float32
+            )
+            dev_labels = jnp.zeros((self.memory_size, self.num_classes), jnp.float32)
+
+            @jax.jit
+            def write_rows(bank, rows, start):
+                return jax.lax.dynamic_update_slice(bank, rows, (start, 0))
 
         for epoch in tqdm(range(self.augmentation_epoch), desc="Augmentation loop"):
             for x, y in tqdm(train_loader, desc="Memory creation loop", leave=False):
@@ -267,18 +287,40 @@ class HbirdEvaluation:
                 self._key, sub = jax.random.split(self._key)
                 feats, labels = step(jnp.asarray(x), jnp.asarray(y), sub)
                 rows_per_img = feats.shape[0] // batch_size
-                n_rows = valid * rows_per_img
+                n_rows = min(valid * rows_per_img, self.memory_size - idx) \
+                    if bounded else valid * rows_per_img
+                if bounded and device_accum:
+                    # Full batches write in place; the (rare) ragged tail
+                    # batch goes through a host slice to keep shapes static.
+                    if n_rows == feats.shape[0]:
+                        dev_feats = write_rows(dev_feats, feats, idx)
+                        dev_labels = write_rows(dev_labels, labels, idx)
+                    elif n_rows > 0:
+                        f_np = np.asarray(feats[:n_rows], np.float32)
+                        l_np = np.asarray(labels[:n_rows], np.float32)
+                        dev_feats = dev_feats.at[idx : idx + n_rows].set(f_np)
+                        dev_labels = dev_labels.at[idx : idx + n_rows].set(l_np)
+                    idx += n_rows
+                    continue
                 feats_np = np.asarray(feats[:n_rows], np.float32)
                 labels_np = np.asarray(labels[:n_rows], np.float32)
                 if bounded:
-                    end = min(idx + n_rows, self.memory_size)
-                    take = end - idx
-                    self.feature_memory[idx:end] = feats_np[:take]
-                    self.label_memory[idx:end] = labels_np[:take]
-                    idx = end
+                    self.feature_memory[idx : idx + n_rows] = feats_np
+                    self.label_memory[idx : idx + n_rows] = labels_np
+                    idx += n_rows
                 else:
                     feature_chunks.append(feats_np)
                     label_chunks.append(labels_np)
+
+        if device_accum:
+            self.feature_memory = dev_feats
+            self.label_memory = dev_labels
+            logger.info(
+                "Bounded memory filled rows: %d (device-resident, %.1fs)",
+                idx,
+                time.time() - t0,
+            )
+            return idx
 
         if not bounded:
             self.feature_memory = (

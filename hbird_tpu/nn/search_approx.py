@@ -68,23 +68,32 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         return None
 
     def _add_features_to_index(self):
-        bank = np.asarray(self.feature_memory, dtype=np.float32)
         store = jnp.bfloat16 if self.use_fp16 else jnp.float32
+        bank_in = self.feature_memory
         labels = self.label_memory
-        if labels is None:
-            labels = np.zeros((bank.shape[0], 1), np.float32)
-        labels = np.asarray(labels, np.float32)
         if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
             from hbird_tpu.parallel.sharded_knn import shard_bank
 
+            bank = np.asarray(bank_in, dtype=np.float32)
+            if labels is None:
+                labels = np.zeros((bank.shape[0], 1), np.float32)
             self.bank, self.labels, self.valid_rows = shard_bank(
-                bank.astype(store), labels, self.mesh
+                bank.astype(store), np.asarray(labels, np.float32), self.mesh
             )
+            return
+        self.mesh = None
+        if isinstance(bank_in, jax.Array):
+            self.bank = bank_in.astype(store)
         else:
-            self.bank = jnp.asarray(bank, store)
-            self.labels = jnp.asarray(labels)
-            self.valid_rows = bank.shape[0]
-            self.mesh = None
+            self.bank = jnp.asarray(np.asarray(bank_in, np.float32), store)
+        if labels is None:
+            labels = jnp.zeros((self.bank.shape[0], 1), jnp.float32)
+        self.labels = (
+            labels.astype(jnp.float32)
+            if isinstance(labels, jax.Array)
+            else jnp.asarray(np.asarray(labels, np.float32))
+        )
+        self.valid_rows = self.bank.shape[0]
 
     def search_with_labels(self, q: jax.Array, k: Optional[int] = None):
         k = k or self.n_neighbors

@@ -256,3 +256,38 @@ class TestEndToEnd:
         miou_single = build(None)
         miou_2d = build(make_mesh((2, 4), ("data", "bank")))
         assert miou_single == pytest.approx(miou_2d, abs=1e-6)
+
+
+class TestOtherDatasetsEndToEnd:
+    """Engine wiring across the non-VOC datasets (random features; asserts
+    the full pipeline runs and produces a sane metric, incl. each dataset's
+    ignore-index semantics)."""
+
+    @pytest.mark.parametrize(
+        "name,maker,nc",
+        [
+            ("ade20k", "make_ade20k_fixture", 151),
+            ("cityscapes", "make_cityscapes_fixture", 19),
+            ("coco-stuff", "make_coco_fixture", 15),
+            ("coco-thing", "make_coco_fixture", 12),
+        ],
+    )
+    def test_engine_runs(self, tmp_path, name, maker, nc):
+        import hbird_tpu.data.synthetic as syn
+
+        root = str(tmp_path / name.split("-")[0])
+        getattr(syn, maker)(root, seed=0)
+        miou = hbird_evaluation(
+            model=None,
+            d_model=3,
+            patch_size=PATCH,
+            dataset_name=name,
+            data_dir=root,
+            batch_size=2,
+            input_size=INPUT,
+            n_neighbours=3,
+            nn_method="exact",
+            ftr_extr_fn=oracle_fn,
+            num_workers=0,
+        )
+        assert 0.0 <= float(miou) <= 1.0
