@@ -195,6 +195,12 @@ def hflip_pair(image: Image.Image, target: ImageLike):
     return image.transpose(Image.FLIP_LEFT_RIGHT), target[..., ::-1].copy()
 
 
+# Reference-named aliases (hbird/utils/image_transformations.py:90-164).
+random_resize_crop = random_resize_crop_pair
+resize = resize_pair
+apply_horizontal_flip = hflip_pair
+
+
 # ---------------------------------------------------------------------------
 # Transform classes (public API parity with the reference)
 # ---------------------------------------------------------------------------
