@@ -394,6 +394,28 @@ class HbirdEvaluation:
             **kwargs,
         )
 
+    def _find_nearest_key_to_query(self, q) -> Tuple[np.ndarray, np.ndarray]:
+        """Retrieve neighbour features and labels for query patches.
+
+        API-parity helper (reference hbird_eval.py:611-637): q is (B, N, D)
+        and NOT normalized; returns host arrays
+        (key_features (B,N,k,D), key_labels (B,N,k,C)). The fused engine
+        path does not use this — it transfers only scores and labels.
+        """
+        q = jnp.asarray(np.asarray(q, np.float32))
+        b, n, d = q.shape
+        vals, idx, labels = self.NN_algorithm.search_with_labels(
+            q.reshape(-1, d), self.n_neighbours
+        )
+        key_features = jnp.take(self.NN_algorithm.bank, idx, axis=0).astype(
+            jnp.float32
+        )
+        k = self.n_neighbours
+        return (
+            np.asarray(key_features).reshape(b, n, k, -1),
+            np.asarray(labels).reshape(b, n, k, -1),
+        )
+
     # ------------------------------------------------------------------
     # Evaluation
     # ------------------------------------------------------------------

@@ -1,5 +1,10 @@
 from hbird_tpu.models.vit import ViTConfig, ViT, VIT_PRESETS
-from hbird_tpu.models.extractor import FeatureExtractor, FeatureExtractorSimple
+from hbird_tpu.models.extractor import (
+    FeatureExtractor,
+    FeatureExtractorSimple,
+    default_ftr_extr_fn,
+    normalize_minmax,
+)
 
 __all__ = [
     "ViTConfig",
@@ -7,4 +12,6 @@ __all__ = [
     "VIT_PRESETS",
     "FeatureExtractor",
     "FeatureExtractorSimple",
+    "default_ftr_extr_fn",
+    "normalize_minmax",
 ]

@@ -25,6 +25,63 @@ import jax.numpy as jnp
 from hbird_tpu.models.vit import ViT, ViTConfig
 
 
+def normalize_minmax(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Min-max normalize the last dim (reference hbird/models.py:44-53)."""
+    mins = x.min(axis=-1, keepdims=True)
+    maxs = x.max(axis=-1, keepdims=True)
+    return (x - mins) / jnp.maximum(maxs - mins, eps)
+
+
+def default_ftr_extr_fn(model, imgs):
+    """Generic patch-token grabber (reference eval.py:262-309 semantics).
+
+    `model` may be a callable (params are closed over) or a (fn, params)
+    tuple; its output may be a (B, N, D) array, a dict (preferring
+    'x_norm_patchtokens', then 'x'/'last_hidden_state'/'tokens'/'out'/
+    'features'), or a tuple/list containing such an array. If token count
+    N-1 is a perfect square, the first token is assumed CLS and dropped.
+    """
+    import math
+
+    if isinstance(model, tuple) and callable(model[0]):
+        out = model[0](model[1], imgs)
+    elif callable(model):
+        out = model(imgs)
+    else:
+        raise TypeError("model must be callable or a (fn, params) tuple")
+
+    if isinstance(out, dict) and "x_norm_patchtokens" in out:
+        tokens = out["x_norm_patchtokens"]
+        if tokens.ndim != 3:
+            raise ValueError(f"Expected (B, N, D), got {tokens.shape}")
+        return tokens, None
+
+    def grab(o):
+        if hasattr(o, "ndim"):
+            return o
+        if isinstance(o, dict):
+            for key in ("x", "last_hidden_state", "tokens", "out", "features"):
+                v = o.get(key)
+                if v is not None and hasattr(v, "ndim"):
+                    return v
+            for v in o.values():
+                if hasattr(v, "ndim"):
+                    return v
+        if isinstance(o, (list, tuple)):
+            for v in o:
+                if hasattr(v, "ndim"):
+                    return v
+        raise TypeError("Could not locate token tensor in model output")
+
+    tokens = grab(out)
+    if tokens.ndim != 3:
+        raise ValueError(f"Expected (B, N, D) token tensor, got {tokens.shape}")
+    n = tokens.shape[1]
+    if n > 1 and math.isqrt(n - 1) ** 2 == (n - 1):
+        tokens = tokens[:, 1:, :]  # CLS present at index 0
+    return tokens, None
+
+
 class FeatureExtractorSimple:
     """Delegates feature extraction to a user-provided function.
 

@@ -291,3 +291,20 @@ class TestOtherDatasetsEndToEnd:
             num_workers=0,
         )
         assert 0.0 <= float(miou) <= 1.0
+
+    def test_find_nearest_key_to_query_api(self, voc_color):
+        from hbird_tpu.data import get_dataset
+        from hbird_tpu.data.transforms import get_hbird_val_transforms
+
+        va = get_hbird_val_transforms(INPUT)
+        fe = FeatureExtractorSimple(None, oracle_fn, eval_spatial_resolution=S, d_model=3)
+        ds, _ = get_dataset("voc", voc_color, 4, 0, va, va, None, None)
+        ev = HbirdEvaluation(fe, ds.train_dataloader(), num_classes=21, n_neighbours=5)
+        q = np.random.default_rng(0).normal(size=(2, S * S, 3)).astype(np.float32)
+        kf, kl = ev._find_nearest_key_to_query(q)
+        assert kf.shape == (2, S * S, 5, 3)
+        assert kl.shape == (2, S * S, 5, 21)
+        # neighbours are unit-norm bank rows
+        np.testing.assert_allclose(
+            np.linalg.norm(kf, axis=-1), np.ones(kf.shape[:-1]), rtol=1e-4
+        )

@@ -270,3 +270,38 @@ class TestQKVFeatures:
         assert feats.shape == (2, 16, 32)
         assert attn.shape == (2, 16)
         assert fe.freeze_feature_extractor() is None
+
+
+class TestDefaultExtractorFn:
+    def test_dict_patchtokens_passthrough(self):
+        from hbird_tpu.models import default_ftr_extr_fn
+
+        tok = jnp.ones((2, 9, 8))
+        feats, attn = default_ftr_extr_fn(lambda imgs: {"x_norm_patchtokens": tok}, None)
+        assert feats.shape == (2, 9, 8) and attn is None
+
+    def test_cls_drop_heuristic(self):
+        from hbird_tpu.models import default_ftr_extr_fn
+
+        # N = 17 -> N-1 = 16 is a perfect square -> CLS dropped.
+        feats, _ = default_ftr_extr_fn(lambda imgs: jnp.ones((2, 17, 8)), None)
+        assert feats.shape == (2, 16, 8)
+        # N = 16 already square -> untouched.
+        feats, _ = default_ftr_extr_fn(lambda imgs: jnp.ones((2, 16, 8)), None)
+        assert feats.shape == (2, 16, 8)
+
+    def test_tuple_and_dict_fallbacks(self):
+        from hbird_tpu.models import default_ftr_extr_fn
+
+        feats, _ = default_ftr_extr_fn(
+            lambda imgs: {"last_hidden_state": jnp.ones((1, 5, 4))}, None
+        )
+        assert feats.shape == (1, 4, 4)
+        feats, _ = default_ftr_extr_fn(lambda imgs: (jnp.ones((1, 10, 4)), "aux"), None)
+        assert feats.shape == (1, 9, 4)
+
+    def test_normalize_minmax(self):
+        from hbird_tpu.models import normalize_minmax
+
+        x = jnp.asarray([[1.0, 3.0, 2.0]])
+        np.testing.assert_allclose(np.asarray(normalize_minmax(x)), [[0, 1, 0.5]])
