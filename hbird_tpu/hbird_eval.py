@@ -479,20 +479,10 @@ class HbirdEvaluation:
         n_imgs = 0
         eval_phase = self.timer.phase("evaluate")
         eval_phase.__enter__()
-        for x, y in tqdm(val_loader, desc="Evaluation loop"):
-            x = np.asarray(x, np.float32)
-            y = np.asarray(y, np.float32)
-            if batch_size is None:
-                batch_size = self._pad_target(x.shape[0])
-            x, valid = _pad_batch(x, batch_size)
-            # Padded images: force all-ignore GT so they don't touch the metric.
-            y_pad = np.full(
-                (batch_size,) + y.shape[1:],
-                (ignore_index if ignore_index is not None else 255) / 255.0,
-                np.float32,
-            )
-            y_pad[:valid] = y
-            conf, pred, y_ids, details = step(jnp.asarray(x), jnp.asarray(y_pad))
+
+        def consume(item):
+            nonlocal n_imgs
+            conf, pred, y_ids, details, valid = item
             n_imgs += valid
             conf_np = np.asarray(conf, np.int64)
             pred_np = np.asarray(pred)[:valid]
@@ -512,6 +502,30 @@ class HbirdEvaluation:
                 knns.append(np.asarray(kf)[:valid])
                 knns_labels.append(np.asarray(kl)[:valid])
                 knns_ca_labels.append(np.asarray(ca)[:valid])
+
+        # One-batch pipeline lag: batch i+1 is dispatched (async) before
+        # batch i's results are pulled to host, overlapping device compute
+        # and host decode/transfer.
+        in_flight = None
+        for x, y in tqdm(val_loader, desc="Evaluation loop"):
+            x = np.asarray(x, np.float32)
+            y = np.asarray(y, np.float32)
+            if batch_size is None:
+                batch_size = self._pad_target(x.shape[0])
+            x, valid = _pad_batch(x, batch_size)
+            # Padded images: force all-ignore GT so they don't touch the metric.
+            y_pad = np.full(
+                (batch_size,) + y.shape[1:],
+                (ignore_index if ignore_index is not None else 255) / 255.0,
+                np.float32,
+            )
+            y_pad[:valid] = y
+            conf, pred, y_ids, details = step(jnp.asarray(x), jnp.asarray(y_pad))
+            if in_flight is not None:
+                consume(in_flight)
+            in_flight = (conf, pred, y_ids, details, valid)
+        if in_flight is not None:
+            consume(in_flight)
 
         eval_phase.__exit__(None, None, None)
         self.timer.add_items("evaluate", n_imgs)
