@@ -579,9 +579,15 @@ def hbird_evaluation(
     seed: int = 123,
     bf16_bank: bool = False,
     bf16_model: bool = False,
+    f_mem_p: Optional[str] = None,
+    l_mem_p: Optional[str] = None,
 ):
     """High-level one-call evaluation (signature parity with reference
     hbird_eval.py:640-722, plus TPU keyword-only extras).
+
+    Unlike the reference wrapper (which never forwards the persistence
+    paths, hbird_eval.py:701-712), f_mem_p/l_mem_p are accepted here and
+    passed through so one-call users get bank save/restore too.
 
     `model` may be:
     - an hbird_tpu (ViT, params) tuple, used with FeatureExtractor;
@@ -646,6 +652,8 @@ def hbird_evaluation(
         nn_params=nn_params,
         memory_size=memory_size,
         dataset_size=dataset_size,
+        f_mem_p=f_mem_p,
+        l_mem_p=l_mem_p,
         mesh=mesh,
         seed=seed,
         bf16_bank=bf16_bank,
