@@ -14,14 +14,7 @@ from __future__ import annotations
 import os
 from typing import List, Optional
 
-from hbird_tpu.data.backend import (
-    FolderBackend,
-    TarBackend,
-    looks_like_tar,
-    make_backend,
-    pair_by_stem,
-    stem,
-)
+from hbird_tpu.data.backend import TarBackend, make_backend, pair_by_stem, stem
 from hbird_tpu.data.common import SegDataModule, apply_pair_transform, resolve_pipeline
 
 VOC_CLASS_IDX_TO_NAME = [

@@ -114,7 +114,7 @@ def build_model(cfg: RunConfig):
     import jax
 
     from hbird_tpu.models.convert import convert
-    from hbird_tpu.models.vit import VIT_PRESETS, ViT, ViTConfig
+    from hbird_tpu.models.vit import VIT_PRESETS, ViT
 
     preset_name = None
     if cfg.dinov2:

@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -143,7 +142,6 @@ class HbirdEvaluation:
         mesh=None,
         seed: int = 123,
         bf16_bank: bool = False,
-        eval_bs: Optional[int] = None,
     ) -> None:
         del device  # placement is managed by JAX/the mesh
         self.nn_params = dict(nn_params or {})
@@ -161,7 +159,6 @@ class HbirdEvaluation:
         self.mesh = mesh
         self.bf16_bank = bf16_bank
         self._key = jax.random.PRNGKey(seed)
-        self._eval_step_cache: Dict[Tuple, Any] = {}
         self.timer = PhaseTimer()
 
         self.num_sampled_features: Optional[int] = None

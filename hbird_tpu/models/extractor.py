@@ -22,7 +22,7 @@ from typing import Any, Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from hbird_tpu.models.vit import ViT, ViTConfig
+from hbird_tpu.models.vit import ViT
 
 
 def normalize_minmax(x: jax.Array, eps: float = 1e-12) -> jax.Array:

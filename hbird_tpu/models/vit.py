@@ -26,7 +26,6 @@ Weight converters from torch checkpoints live in hbird_tpu/models/convert.py.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

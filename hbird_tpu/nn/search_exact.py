@@ -33,6 +33,7 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         distance_measure: str = "dot_product",
         idx_shard: bool = False,
         use_fp16: bool = False,
+        use_int8: bool = False,
         devices=None,
         mesh=None,
         label_memory=None,
@@ -42,12 +43,19 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         **kwargs,
     ):
         self.use_fp16 = use_fp16
+        self.use_int8 = use_int8
         self.idx_shard = idx_shard
         self.devices = devices
         self.mesh = mesh
         self.label_memory = label_memory
         if kernel == "auto":
             kernel = "pallas" if distance_measure.lower() == "dot_product" else "xla"
+        if use_int8:
+            # int8 is a property of the fused kernel's MXU path.
+            assert distance_measure.lower() == "dot_product", (
+                "use_int8 requires dot_product"
+            )
+            kernel = "pallas"
         self.kernel = kernel
         # Measured on v5e (bank 1.024M x 768, k=30): pallas 512/8192 is the
         # fastest variant; the XLA path prefers bigger query tiles.
@@ -64,7 +72,20 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         return None
 
     def _add_features_to_index(self):
-        store = jnp.bfloat16 if self.use_fp16 else jnp.float32
+        if self.use_int8:
+            store = jnp.int8
+        else:
+            store = jnp.bfloat16 if self.use_fp16 else jnp.float32
+        self._bank_scale = None
+        if self.use_int8:
+            # Global-scale symmetric quantization (the bank analogue of
+            # ScaNN's quantized scoring): ordering of int32 scores equals
+            # ordering of the quantized dot products.
+            bank_f = jnp.asarray(np.asarray(self.feature_memory, np.float32))
+            self._bank_scale = jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
+            self.feature_memory = jnp.clip(
+                jnp.round(bank_f / self._bank_scale), -127, 127
+            ).astype(jnp.int8)
         bank_in = self.feature_memory
         labels = self.label_memory
         if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
@@ -101,8 +122,14 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         step.
         """
         k = k or self.n_neighbors
-        return sharded_knn_with_labels(
-            q.astype(self.bank.dtype),
+        if self.use_int8:
+            q32 = q.astype(jnp.float32)
+            q_scale = jnp.maximum(jnp.abs(q32).max(), 1e-12) / 127.0
+            q_cast = jnp.clip(jnp.round(q32 / q_scale), -127, 127).astype(jnp.int8)
+        else:
+            q_cast = q.astype(self.bank.dtype)
+        vals, idx, labels = sharded_knn_with_labels(
+            q_cast,
             self.bank,
             self.labels,
             k,
@@ -113,6 +140,11 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
             bank_block=self.bank_block,
             kernel=self.kernel,
         )
+        if self.use_int8:
+            # Rescale int32 scores back to (approximate) dot products so
+            # downstream cross-attention temperatures stay calibrated.
+            vals = vals * (self._bank_scale * q_scale)
+        return vals, idx, labels
 
     def find_nearest_neighbors(
         self, q, k: Optional[int] = None

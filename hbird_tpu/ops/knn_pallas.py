@@ -66,12 +66,19 @@ def _knn_kernel(
     # copies of the tile inside the while_loop) ──
     base = j * block_m
     col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], block_m), 1) + base
+    int8_inputs = q_ref.dtype == jnp.int8
     s = jax.lax.dot_general(
         q_ref[...],
         bank_ref[...],
         (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32 if int8_inputs else jnp.float32,
     )
+    if int8_inputs:
+        # Global-scale symmetric quantization: int32 scores are a positive
+        # constant multiple of the approximate dot products, so ordering is
+        # preserved; convert once for the f32 merge (|s| <= 127*127*D
+        # stays well inside f32's exact-integer range for D <= 1024).
+        s = s.astype(jnp.float32)
 
     # NB: an attempted "mask only the boundary tile" split into two
     # predicated stores measured SLOWER (1950ms vs 1683ms/batch on v5e) —

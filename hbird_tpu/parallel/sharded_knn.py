@@ -19,7 +19,6 @@ Because bank rows are L2-normalized, downstream cross-attention needs only
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -56,11 +55,9 @@ def shard_bank(
         labels = np.concatenate(
             [labels, np.zeros((padded - valid, labels.shape[1]), labels.dtype)]
         )
-    other_axes = tuple(a for a in mesh.axis_names if a != bank_axis)
-    spec = P(bank_axis)
-    bank_s = jax.device_put(bank, NamedSharding(mesh, spec))
-    labels_s = jax.device_put(labels, NamedSharding(mesh, spec))
-    del other_axes
+    spec = NamedSharding(mesh, P(bank_axis))
+    bank_s = jax.device_put(bank, spec)
+    labels_s = jax.device_put(labels, spec)
     return bank_s, labels_s, valid
 
 
@@ -134,8 +131,6 @@ def sharded_knn_with_labels(
     n_shards = mesh.shape[bank_axis]
     assert bank.shape[0] % n_shards == 0, "bank rows must divide the bank axis"
     shard_rows = bank.shape[0] // n_shards
-    # Axes of the mesh other than the bank axis see replicated operands.
-    other = tuple(a for a in mesh.axis_names if a != bank_axis)
 
     def local_search(q, bank_l, labels_l, valid_total):
         i = jax.lax.axis_index(bank_axis)
@@ -174,5 +169,4 @@ def sharded_knn_with_labels(
         out_specs=out_specs,
         check_vma=False,
     )
-    del other
     return fn(queries, bank, labels, valid_rows.reshape(1))

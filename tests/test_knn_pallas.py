@@ -75,3 +75,49 @@ class TestPallasKNN:
         )
         for r in range(8):
             assert set(np.asarray(idx_uns)[r]) == set(np.asarray(idx_sorted)[r])
+
+
+class TestInt8Bank:
+    def test_int8_backend_self_retrieval(self):
+        from hbird_tpu.nn.search_exact import NearestNeighborSearchExact
+
+        rng = np.random.default_rng(0)
+        m, d, k = 2000, 64, 10
+        bank = rng.normal(size=(m, d)).astype(np.float32)
+        bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+        labels = rng.uniform(size=(m, 5)).astype(np.float32)
+        src = rng.integers(0, m, size=128)
+        q = bank[src] * 2.0 + 0.005 * rng.normal(size=(128, d)).astype(np.float32)
+
+        nn8 = NearestNeighborSearchExact(
+            bank, n_neighbors=k, use_int8=True, label_memory=labels,
+            query_block=64, bank_block=256,
+        )
+        assert nn8.bank.dtype == jnp.int8
+        vals, idx, lbls = nn8.search_with_labels(jnp.asarray(q), k)
+        top1 = np.asarray(idx)[:, 0]
+        assert (top1 == src).mean() >= 0.95  # quantized self-retrieval
+
+        # Scores rescaled to approximate dot products (cos in [0.9, 2.2]).
+        v = np.asarray(vals)[:, 0]
+        true = (q * bank[src]).sum(-1)
+        np.testing.assert_allclose(v[top1 == src], true[top1 == src], rtol=0.1)
+
+    def test_int8_recall_vs_exact(self):
+        from hbird_tpu.nn.search_exact import NearestNeighborSearchExact
+        from hbird_tpu.ops.knn import exact_knn
+
+        rng = np.random.default_rng(1)
+        m, d, k = 3000, 64, 10
+        bank = rng.normal(size=(m, d)).astype(np.float32)
+        bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+        q = rng.normal(size=(64, d)).astype(np.float32)
+        nn8 = NearestNeighborSearchExact(
+            bank, n_neighbors=k, use_int8=True, query_block=64, bank_block=512,
+        )
+        idx8, _ = nn8.find_nearest_neighbors(q, k)
+        _, ref = exact_knn(jnp.asarray(q), jnp.asarray(bank), k)
+        recall = np.mean(
+            [len(set(idx8[i]) & set(np.asarray(ref)[i])) / k for i in range(64)]
+        )
+        assert recall >= 0.7, recall
