@@ -1,0 +1,5 @@
+"""Compat: the reference's Faiss backend name -> the TPU exact backend."""
+
+from hbird_tpu.nn.search_exact import NearestNeighborSearchExact as NearestNeighborSearchFaiss
+
+__all__ = ["NearestNeighborSearchFaiss"]

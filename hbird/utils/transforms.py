@@ -1,0 +1,11 @@
+from hbird_tpu.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    get_default_train_transforms,
+    get_default_transforms,
+    get_default_val_transforms,
+    get_hbird_train_transforms,
+    get_hbird_train_transforms_for_imgs,
+    get_hbird_transforms,
+    get_hbird_val_transforms,
+)
