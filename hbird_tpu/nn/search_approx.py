@@ -97,6 +97,12 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
 
     def search_with_labels(self, q: jax.Array, k: Optional[int] = None):
         k = k or self.n_neighbors
+        # `reorder(C)` semantics (reference search_scann.py:32): grab C
+        # approximate candidates, exact-rescore, keep the top k.
+        rerank = (
+            self.num_reordering_candidates > k
+            and self.distance_measure == "dot_product"
+        )
         return sharded_knn_with_labels(
             q.astype(self.bank.dtype),
             self.bank,
@@ -109,6 +115,9 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             recall_target=self.recall_target,
             query_block=self.query_block,
             bank_block=self.bank_block,
+            rerank_bank=self.bank if rerank else None,
+            rerank_queries=q.astype(self.bank.dtype) if rerank else None,
+            rerank_candidates=self.num_reordering_candidates if rerank else 0,
         )
 
     def find_nearest_neighbors(

@@ -34,6 +34,7 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         idx_shard: bool = False,
         use_fp16: bool = False,
         use_int8: bool = False,
+        num_reordering_candidates: int = 0,
         devices=None,
         mesh=None,
         label_memory=None,
@@ -44,6 +45,9 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
     ):
         self.use_fp16 = use_fp16
         self.use_int8 = use_int8
+        # ScaNN-style exact re-ordering of quantized-scan candidates
+        # (reference search_scann.py:32); only meaningful with use_int8.
+        self.num_reordering_candidates = int(num_reordering_candidates)
         self.idx_shard = idx_shard
         self.devices = devices
         self.mesh = mesh
@@ -77,12 +81,28 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         else:
             store = jnp.bfloat16 if self.use_fp16 else jnp.float32
         self._bank_scale = None
+        self.rerank_bank = None
         if self.use_int8:
             # Global-scale symmetric quantization (the bank analogue of
             # ScaNN's quantized scoring): ordering of int32 scores equals
             # ordering of the quantized dot products.
             bank_f = jnp.asarray(np.asarray(self.feature_memory, np.float32))
             self._bank_scale = jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
+            if self.num_reordering_candidates > self.n_neighbors:
+                # Full-precision copy for the exact re-ordering pass (bf16:
+                # half the f32 footprint, exact enough for re-scoring).
+                rb = bank_f.astype(jnp.bfloat16)
+                if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    from hbird_tpu.parallel.sharded_knn import pad_rows_for_mesh
+
+                    n_shards = self.mesh.shape["bank"]
+                    padded = pad_rows_for_mesh(rb.shape[0], n_shards)
+                    if padded != rb.shape[0]:
+                        rb = jnp.pad(rb, ((0, padded - rb.shape[0]), (0, 0)))
+                    rb = jax.device_put(rb, NamedSharding(self.mesh, P("bank")))
+                self.rerank_bank = rb
             self.feature_memory = jnp.clip(
                 jnp.round(bank_f / self._bank_scale), -127, 127
             ).astype(jnp.int8)
@@ -122,6 +142,7 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         step.
         """
         k = k or self.n_neighbors
+        rerank = self.use_int8 and self.rerank_bank is not None
         if self.use_int8:
             q32 = q.astype(jnp.float32)
             q_scale = jnp.maximum(jnp.abs(q32).max(), 1e-12) / 127.0
@@ -139,10 +160,14 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
             query_block=self.query_block,
             bank_block=self.bank_block,
             kernel=self.kernel,
+            rerank_bank=self.rerank_bank if rerank else None,
+            rerank_queries=q.astype(jnp.bfloat16) if rerank else None,
+            rerank_candidates=self.num_reordering_candidates if rerank else 0,
         )
-        if self.use_int8:
+        if self.use_int8 and not rerank:
             # Rescale int32 scores back to (approximate) dot products so
             # downstream cross-attention temperatures stay calibrated.
+            # (Reranked scores are already exact bf16 dot products.)
             vals = vals * (self._bank_scale * q_scale)
         return vals, idx, labels
 

@@ -220,6 +220,54 @@ def approx_knn(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k", "query_block"))
+def rerank_exact(
+    queries: jax.Array,
+    bank: jax.Array,
+    cand_idx: jax.Array,
+    k: int,
+    query_block: int = 512,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact re-scoring of candidate rows (ScaNN `reorder` semantics,
+    reference hbird/nn/search_scann.py:32).
+
+    Args:
+        queries: (Q, D) full-precision queries.
+        bank: (M, D) full/half-precision bank (the re-scoring table).
+        cand_idx: (Q, C) candidate row ids from a fast/quantized scan.
+        k: final neighbours (k <= C).
+
+    Returns:
+        (values, indices): (Q, k) exact dot-product scores + row ids,
+        descending. Streamed over query blocks: the (block, C, D) candidate
+        gather never exceeds ~100 MB.
+    """
+    q_n, d = queries.shape
+    c = cand_idx.shape[1]
+    qb = min(query_block, max(8, q_n))
+    pad = (-q_n) % qb
+    if pad:
+        queries = jnp.pad(queries, ((0, pad), (0, 0)))
+        cand_idx = jnp.pad(cand_idx, ((0, pad), (0, 0)))
+    n_blocks = queries.shape[0] // qb
+
+    def body(_, blk):
+        q_blk, idx_blk = blk
+        cand = jnp.take(bank, idx_blk, axis=0).astype(q_blk.dtype)  # (qb, C, D)
+        scores = jnp.einsum(
+            "qd,qcd->qc", q_blk, cand, preferred_element_type=jnp.float32
+        )
+        vals, sel = jax.lax.top_k(scores, k)
+        return None, (vals, jnp.take_along_axis(idx_blk, sel, axis=-1))
+
+    _, (vals, idx) = jax.lax.scan(
+        body,
+        None,
+        (queries.reshape(n_blocks, qb, d), cand_idx.reshape(n_blocks, qb, c)),
+    )
+    return vals.reshape(-1, k)[:q_n], idx.reshape(-1, k)[:q_n]
+
+
 def knn_search(method: str, *args, **kwargs):
     """Dispatch by method name ('exact'/'faiss' -> exact, 'approx'/'scann' -> approx)."""
     m = method.lower()

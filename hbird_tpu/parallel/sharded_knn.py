@@ -76,6 +76,9 @@ def sharded_knn_with_labels(
     query_block: int = 1024,
     bank_block: int = 8192,
     kernel: str = "xla",
+    rerank_bank: Optional[jax.Array] = None,
+    rerank_queries: Optional[jax.Array] = None,
+    rerank_candidates: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Top-k search + label gather, single-device or mesh-sharded.
 
@@ -86,6 +89,11 @@ def sharded_knn_with_labels(
         k: neighbours.
         mesh: optional Mesh with a `bank_axis` axis. None = single-shard.
         valid_rows: real row count (padding masked out).
+        rerank_bank / rerank_queries / rerank_candidates: ScaNN-style exact
+            re-ordering — scan for `rerank_candidates` with the (fast,
+            possibly quantized) bank, then re-score those candidates with
+            the full-precision rerank_bank and rerank_queries before taking
+            the final k. Runs per shard, before the merge.
 
     Returns:
         values: (Q, k) dot-product scores, globally merged, descending.
@@ -124,19 +132,43 @@ def sharded_knn_with_labels(
         if approx:
             search_kwargs["recall_target"] = recall_target
 
+    do_rerank = rerank_bank is not None and rerank_candidates > k
+    if do_rerank:
+        from hbird_tpu.ops.knn import rerank_exact
+
+        if rerank_queries is None:
+            rerank_queries = queries
+
     if mesh is None or mesh.shape.get(bank_axis, 1) == 1:
-        vals, idx = search(queries, bank, k, valid_rows=valid_rows, **search_kwargs)
+        if do_rerank:
+            _, cand = search(
+                queries, bank, rerank_candidates, valid_rows=valid_rows,
+                **search_kwargs,
+            )
+            vals, idx = rerank_exact(rerank_queries, rerank_bank, cand, k)
+        else:
+            vals, idx = search(queries, bank, k, valid_rows=valid_rows, **search_kwargs)
         return vals, idx, jnp.take(labels, idx, axis=0)
 
     n_shards = mesh.shape[bank_axis]
     assert bank.shape[0] % n_shards == 0, "bank rows must divide the bank axis"
     shard_rows = bank.shape[0] // n_shards
 
-    def local_search(q, bank_l, labels_l, valid_total):
+    def local_search(q, bank_l, labels_l, valid_total, *rerank_args):
         i = jax.lax.axis_index(bank_axis)
         start = (i * shard_rows).astype(jnp.int32)
         local_valid = jnp.clip(valid_total[0] - start, 0, shard_rows)
-        vals_l, idx_l = search(q, bank_l, k, valid_rows=local_valid, **search_kwargs)
+        if do_rerank:
+            q_r, rbank_l = rerank_args
+            _, cand = search(
+                q, bank_l, rerank_candidates, valid_rows=local_valid,
+                **search_kwargs,
+            )
+            vals_l, idx_l = rerank_exact(q_r, rbank_l, cand, k)
+        else:
+            vals_l, idx_l = search(
+                q, bank_l, k, valid_rows=local_valid, **search_kwargs
+            )
         gidx_l = idx_l + start
 
         # Merge: gather the tiny (k per shard) candidate lists everywhere.
@@ -155,18 +187,22 @@ def sharded_knn_with_labels(
         merged_labels = jax.lax.psum(contrib, bank_axis)
         return merged_vals, merged_idx, merged_labels
 
-    in_specs = (
+    in_specs = [
         P(*[None] * queries.ndim),  # queries replicated
         P(bank_axis),
         P(bank_axis),
         P(),  # valid rows scalar
-    )
+    ]
+    args = [queries, bank, labels, valid_rows.reshape(1)]
+    if do_rerank:
+        in_specs += [P(None, None), P(bank_axis)]
+        args += [rerank_queries, rerank_bank]
     out_specs = (P(), P(), P())
     fn = jax.shard_map(
         local_search,
         mesh=mesh,
-        in_specs=in_specs,
+        in_specs=tuple(in_specs),
         out_specs=out_specs,
         check_vma=False,
     )
-    return fn(queries, bank, labels, valid_rows.reshape(1))
+    return fn(*args)

@@ -121,3 +121,67 @@ class TestInt8Bank:
             [len(set(idx8[i]) & set(np.asarray(ref)[i])) / k for i in range(64)]
         )
         assert recall >= 0.7, recall
+
+    def test_int8_with_exact_rerank_recall_1(self):
+        """reorder(C) semantics: int8 scan + exact bf16 rerank recovers the
+        exact top-k (recall ~1.0)."""
+        from hbird_tpu.nn.search_exact import NearestNeighborSearchExact
+        from hbird_tpu.ops.knn import exact_knn
+
+        rng = np.random.default_rng(2)
+        m, d, k = 3000, 64, 10
+        bank = rng.normal(size=(m, d)).astype(np.float32)
+        bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+        q = rng.normal(size=(64, d)).astype(np.float32)
+        nn8 = NearestNeighborSearchExact(
+            bank, n_neighbors=k, use_int8=True, num_reordering_candidates=60,
+            query_block=64, bank_block=512,
+        )
+        assert nn8.rerank_bank is not None
+        idx8, vals8 = nn8.find_nearest_neighbors(q, k)
+        _, ref = exact_knn(jnp.asarray(q), jnp.asarray(bank), k)
+        recall = np.mean(
+            [len(set(idx8[i]) & set(np.asarray(ref)[i])) / k for i in range(64)]
+        )
+        assert recall >= 0.97, recall
+
+    def test_int8_rerank_sharded(self):
+        from hbird_tpu.nn.search_exact import NearestNeighborSearchExact
+        from hbird_tpu.ops.knn import exact_knn
+        from hbird_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(3)
+        m, d, k = 2000, 32, 6
+        bank = rng.normal(size=(m, d)).astype(np.float32)
+        bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+        q = rng.normal(size=(32, d)).astype(np.float32)
+        mesh = make_mesh((4,), ("bank",))
+        nn8 = NearestNeighborSearchExact(
+            bank, n_neighbors=k, use_int8=True, num_reordering_candidates=40,
+            mesh=mesh, query_block=32, bank_block=128,
+        )
+        idx8, _ = nn8.find_nearest_neighbors(q, k)
+        _, ref = exact_knn(jnp.asarray(q), jnp.asarray(bank), k)
+        recall = np.mean(
+            [len(set(idx8[i]) & set(np.asarray(ref)[i])) / k for i in range(32)]
+        )
+        assert recall >= 0.95, recall
+
+    def test_approx_with_rerank(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+        from hbird_tpu.ops.knn import exact_knn
+
+        rng = np.random.default_rng(4)
+        m, d, k = 4096, 32, 8
+        bank = rng.normal(size=(m, d)).astype(np.float32)
+        q = rng.normal(size=(32, d)).astype(np.float32)
+        nn_a = NearestNeighborSearchApprox(
+            bank, n_neighbors=k, num_reordering_candidates=64,
+            recall_target=0.9, bank_block=4096,
+        )
+        idx_a, _ = nn_a.find_nearest_neighbors(q, k)
+        _, ref = exact_knn(jnp.asarray(q), jnp.asarray(bank), k)
+        recall = np.mean(
+            [len(set(idx_a[i]) & set(np.asarray(ref)[i])) / k for i in range(32)]
+        )
+        assert recall >= 0.85, recall
