@@ -299,17 +299,17 @@ class PredsmIoU:
         precision_based: bool = False,
         linear_probe: bool = False,
     ):
-        """Single-shot numpy adapter. NOTE: the reference adapter swaps the
-        (gt, pred) arguments internally (eval_metrics.py:316-321); behavior
-        preserved."""
+        """Single-shot numpy adapter. NOTE: the reference adapter assigns
+        swapped-named temporaries and then swaps them back at the update
+        call (eval_metrics.py:316-321) — the net effect is a plain
+        update(gt, pred); golden-tested against the reference module."""
         self.__init__(
             num_pred_classes=num_pred,
             num_gt_classes=num_gt,
             ignore_index=self.ignore_index,
             store_reordered_preds=True,
         )
-        # Deliberate swap — parity with reference adapter.
-        self.update(np.asarray(pred), np.asarray(gt))
+        self.update(np.asarray(gt), np.asarray(pred))
         miou, tp, fp, fn, reordered, bg = self.compute(
             is_global_zero=True,
             many_to_one=many_to_one,
