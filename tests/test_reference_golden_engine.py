@@ -32,6 +32,15 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_engine():
+    # The repo ships an `hbird` compat package with the same name as the
+    # reference's package — stash any loaded hbird* modules so the
+    # reference's own package imports cleanly, then restore.
+    saved = {
+        k: sys.modules.pop(k)
+        for k in list(sys.modules)
+        if k == "hbird" or k.startswith("hbird.")
+    }
+
     def stub(name, attrs=()):
         m = types.ModuleType(name)
         for a in attrs:
@@ -65,6 +74,10 @@ def ref_engine():
         mod = importlib.import_module("hbird.hbird_eval")
     finally:
         sys.path.remove(REF_ROOT)
+        for k in list(sys.modules):
+            if k == "hbird" or k.startswith("hbird."):
+                del sys.modules[k]
+        sys.modules.update(saved)
     return mod
 
 
