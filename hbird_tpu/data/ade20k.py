@@ -98,6 +98,7 @@ class Ade20kDataModule(SegDataModule):
         drop_last: bool = False,
         train_file_set=None,
         val_file_set=None,
+        loader_mode: str = "thread",
         **_,
     ):
         train_ds = ADE20K(root, train_transforms, split="train", file_set=train_file_set)
@@ -109,5 +110,6 @@ class Ade20kDataModule(SegDataModule):
             num_workers=num_workers,
             shuffle=shuffle,
             drop_last=drop_last,
+            loader_mode=loader_mode,
             num_classes=151,
         )

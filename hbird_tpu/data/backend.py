@@ -118,6 +118,18 @@ class TarBackend:
     def open_image(self, member: str) -> Image.Image:
         return Image.open(io.BytesIO(self.read(member)))
 
+    # Pickle-safety for process workers (the reference's pattern for forked
+    # torch workers, voc_tar_data.py:279-283): per-thread handles/fds never
+    # cross process boundaries.
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_local"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._local = threading.local()
+
     # threads die with the process; handles are closed by GC. Provide an
     # explicit close for tests.
     def close(self):

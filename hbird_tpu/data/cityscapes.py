@@ -123,6 +123,7 @@ class CityscapesDataModule(SegDataModule):
         drop_last: bool = False,
         train_file_set=None,
         val_file_set=None,
+        loader_mode: str = "thread",
         **_,
     ):
         train_ds = Cityscapes(root, train_transforms, split="train", file_set=train_file_set)
@@ -134,5 +135,6 @@ class CityscapesDataModule(SegDataModule):
             num_workers=num_workers,
             shuffle=shuffle,
             drop_last=drop_last,
+            loader_mode=loader_mode,
             num_classes=19,
         )

@@ -164,6 +164,7 @@ class CocoDataModule(SegDataModule):
         drop_last: bool = False,
         train_file_set: Optional[List[str]] = None,
         val_file_set: Optional[List[str]] = None,
+        loader_mode: str = "thread",
         **_,
     ):
         self.mask_type = mask_type
@@ -180,5 +181,6 @@ class CocoDataModule(SegDataModule):
             num_workers=num_workers,
             shuffle=shuffle,
             drop_last=drop_last,
+            loader_mode=loader_mode,
             num_classes=12 if mask_type == "thing" else 15,
         )

@@ -50,6 +50,7 @@ class SegDataModule:
         shuffle: bool = False,
         drop_last: bool = False,
         num_classes: int = 0,
+        loader_mode: str = "thread",
     ):
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
@@ -58,6 +59,7 @@ class SegDataModule:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._num_classes = num_classes
+        self.loader_mode = loader_mode
 
     def setup(self, stage: Optional[str] = None):
         return self
@@ -72,6 +74,7 @@ class SegDataModule:
             shuffle=self.shuffle,
             num_workers=self.num_workers,
             drop_last=self.drop_last,
+            mode=self.loader_mode,
         )
 
     def val_dataloader(self) -> HostDataLoader:
@@ -81,6 +84,7 @@ class SegDataModule:
             shuffle=False,
             num_workers=self.num_workers,
             drop_last=self.drop_last,
+            mode=self.loader_mode,
         )
 
     def get_train_dataset_size(self) -> int:

@@ -1,27 +1,52 @@
-"""Threaded prefetching host data loader producing numpy batches.
+"""Prefetching host data loader producing numpy batches.
 
-Replaces torch DataLoader worker processes (reference
-hbird/data/voc/voc_data.py:72-79) with a thread pool: PIL decode and
-numpy transforms release the GIL for their hot parts, and threads share
-the dataset's tar member index without pickling. Batches are prefetched
-ahead of the accelerator via a bounded queue so host decode overlaps TPU
-compute.
+Replaces the torch DataLoader (reference hbird/data/voc/voc_data.py:72-79)
+with two worker modes:
 
-Order is deterministic: batch i always contains items
-[i*B, (i+1)*B) of the (optionally shuffled) index list, matching the
-reference's shuffle=False / drop_last=False defaults
-(reference hbird/data/__init__.py:81-83).
+- "thread" (default): a thread pool — zero startup cost, shares the
+  dataset's tar index in-process. PIL's C codecs release the GIL, but the
+  numpy transform glue serializes at ~35-65 img/s regardless of threads.
+- "process": a forkserver-context process pool — the dataset ships to
+  each worker ONCE (initializer), tasks carry only (index, seed), decode
+  scales with cores. forkserver (not plain fork) is deliberate: the
+  server is a fresh python that never inherits initialized JAX/XLA thread
+  pools (fork-after-jax can deadlock), and unlike spawn it does not
+  re-execute __main__. The reference gets the same isolation from torch's
+  forked workers + pickle-safe tar handles (voc_tar_data.py:279-283).
+
+Augmentation randomness is seeded PER ITEM from (epoch draw, item index),
+so results are reproducible for a given `random.seed(...)` regardless of
+worker count or scheduling — stronger than the reference's per-worker
+seeding.
+
+Order is deterministic: batch i always contains items [i*B, (i+1)*B) of
+the (optionally shuffled) index list, matching the reference's
+shuffle=False / drop_last=False defaults (reference data/__init__.py:81-83).
 """
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import random
 import threading
-from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Iterator, List, Sequence
+from concurrent.futures import Executor, ProcessPoolExecutor, ThreadPoolExecutor
+from typing import Any, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+_WORKER_DATASET = None
+
+
+def _process_worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _process_worker_get(idx: int, seed: int):
+    random.seed(seed)
+    np.random.seed(seed % (2**32))
+    return _WORKER_DATASET[idx]
 
 
 def default_collate(samples: Sequence[Any]):
@@ -55,6 +80,7 @@ class HostDataLoader:
         drop_last: bool = False,
         prefetch: int = 4,
         collate_fn=default_collate,
+        mode: str = "thread",  # "thread" | "process"
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -63,6 +89,39 @@ class HostDataLoader:
         self.drop_last = drop_last
         self.prefetch = max(1, int(prefetch))
         self.collate_fn = collate_fn
+        assert mode in ("thread", "process"), mode
+        self.mode = mode
+        self._pool: Optional[Executor] = None
+
+    def _executor(self) -> Executor:
+        """Worker pool, created lazily and reused across epochs (process
+        spawn + dataset shipping is paid once per loader)."""
+        if self._pool is None:
+            if self.mode == "process":
+                try:
+                    ctx = multiprocessing.get_context("forkserver")
+                except ValueError:  # pragma: no cover (non-POSIX)
+                    ctx = multiprocessing.get_context("spawn")
+                self._pool = ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=ctx,
+                    initializer=_process_worker_init,
+                    initargs=(self.dataset,),
+                )
+            else:
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -88,29 +147,42 @@ class HostDataLoader:
                 yield self.collate_fn([self.dataset[i] for i in b])
             return
 
+        pool = self._executor()
+        if self.mode == "process":
+            # Per-item seeds drawn once per epoch from the (seedable) global
+            # RNG: reproducible regardless of worker count/scheduling.
+            epoch_seed = random.getrandbits(31)
+
+            def submit(i):
+                return pool.submit(_process_worker_get, i, epoch_seed + 2654435761 * i)
+
+        else:
+
+            def submit(i):
+                return pool.submit(self.dataset.__getitem__, i)
+
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def produce():
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    # Submit per-item fetches batch by batch, keeping batch
-                    # order deterministic while items decode in parallel.
-                    pending = []
-                    for b in batches:
-                        if stop.is_set():
-                            return
-                        pending.append([pool.submit(self.dataset.__getitem__, i) for i in b])
-                        # Keep at most `prefetch+1` batches in flight.
-                        while len(pending) > self.prefetch:
-                            done = pending.pop(0)
-                            out_q.put(self._finish(done))
-                            if stop.is_set():
-                                return
-                    for done in pending:
-                        if stop.is_set():
-                            return
+                # Submit per-item fetches batch by batch, keeping batch
+                # order deterministic while items decode in parallel.
+                pending = []
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    pending.append([submit(i) for i in b])
+                    # Keep at most `prefetch+1` batches in flight.
+                    while len(pending) > self.prefetch:
+                        done = pending.pop(0)
                         out_q.put(self._finish(done))
+                        if stop.is_set():
+                            return
+                for done in pending:
+                    if stop.is_set():
+                        return
+                    out_q.put(self._finish(done))
                 out_q.put(_SENTINEL)
             except BaseException as e:  # propagate into the consumer
                 out_q.put(_ExcWrapper(e))

@@ -36,6 +36,7 @@ def get_dataset(
     val_transforms,
     train_fs_path: Optional[str] = None,
     val_fs_path: Optional[str] = None,
+    loader_mode: str = "thread",
     **kwargs: Any,
 ) -> Tuple[Any, int]:
     train_file_set = read_file_set(train_fs_path) if train_fs_path else None
@@ -81,6 +82,7 @@ def get_dataset(
             drop_last=False,
             train_file_set=train_file_set,
             val_file_set=val_file_set,
+            loader_mode=loader_mode,
         ).setup()
 
     elif dataset_name == "ade20k":
@@ -105,6 +107,7 @@ def get_dataset(
             train_file_set=train_file_set,
             drop_last=False,
             val_file_set=val_file_set,
+            loader_mode=loader_mode,
         ).setup()
 
     elif dataset_name == "cityscapes":
@@ -130,6 +133,7 @@ def get_dataset(
             drop_last=False,
             train_file_set=train_file_set,
             val_file_set=val_file_set,
+            loader_mode=loader_mode,
         ).setup()
 
     elif "coco" in dataset_name:
@@ -158,6 +162,7 @@ def get_dataset(
             train_file_set=train_file_set,
             drop_last=False,
             val_file_set=val_file_set,
+            loader_mode=loader_mode,
         ).setup()
 
     else:

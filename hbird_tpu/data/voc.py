@@ -115,6 +115,7 @@ class VOCDataModule(SegDataModule):
         drop_last: bool = False,
         train_file_set=None,
         val_file_set=None,
+        loader_mode: str = "thread",
         **_,
     ):
         train_ds = VOCDataset(
@@ -137,6 +138,7 @@ class VOCDataModule(SegDataModule):
             num_workers=num_workers,
             shuffle=shuffle,
             drop_last=drop_last,
+            loader_mode=loader_mode,
             num_classes=len(self.CLASS_IDX_TO_NAME),
         )
 

@@ -578,6 +578,7 @@ def hbird_evaluation(
     bf16_model: bool = False,
     f_mem_p: Optional[str] = None,
     l_mem_p: Optional[str] = None,
+    loader_mode: str = "thread",
 ):
     """High-level one-call evaluation (signature parity with reference
     hbird_eval.py:640-722, plus TPU keyword-only extras).
@@ -632,6 +633,7 @@ def hbird_evaluation(
         val_transforms,
         train_fs_path,
         val_fs_path,
+        loader_mode=loader_mode,
     )
     dataset_size = dataset.get_train_dataset_size()
     num_classes = dataset.get_num_classes()
