@@ -53,6 +53,7 @@ def _knn_kernel(
     k_pad: int,
     block_m: int,
     n_bank_tiles: int,
+    merge_chunk: int,
 ):
     j = pl.program_id(1)
 
@@ -86,54 +87,62 @@ def _knn_kernel(
     # masked store.
     s_ref[...] = jnp.where(col < valid_ref[0], s, NEG_INF)
 
-    def merge_step():
-        s_cur = s_ref[...]
-        run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)  # (Q,1)
-        cur_max = jnp.max(s_cur, axis=1, keepdims=True)  # (Q,1)
-        better = cur_max > run_min  # (Q,1)
-
-        # argmax of the tile row (lowest column on ties)
+    def merge_chunk_loop(c0):
+        """Insert candidates from s_ref[:, c0:c0+merge_chunk] into the
+        running top-k until the chunk has nothing better. Working on a
+        column CHUNK keeps each insertion pass at (Q, merge_chunk) instead
+        of (Q, BLOCK_M) — after the first few bank tiles usually only one
+        chunk of a contributing tile holds anything insertable."""
+        csl = (slice(None), pl.ds(c0, merge_chunk))
+        ccol = jax.lax.broadcasted_iota(
+            jnp.int32, (q_ref.shape[0], merge_chunk), 1
+        ) + (base + c0)
         big = jnp.int32(2**30)
-        cand_col = jnp.min(
-            jnp.where(s_cur >= cur_max, col, big), axis=1, keepdims=True
-        )  # (Q,1) global col id
-        # argmin of the running top-k row
         slot_ids = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
-        min_slot = jnp.min(
-            jnp.where(vals_ref[...] <= run_min, slot_ids, big),
-            axis=1,
-            keepdims=True,
-        )  # (Q,1)
 
-        # replace the min slot where the candidate is better
-        do = better & (slot_ids == min_slot)
-        vals_ref[...] = jnp.where(do, cur_max, vals_ref[...])
-        idx_ref[...] = jnp.where(do, cand_col, idx_ref[...])
+        def step():
+            s_cur = s_ref[csl]
+            run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)  # (Q,1)
+            cur_max = jnp.max(s_cur, axis=1, keepdims=True)  # (Q,1)
+            better = cur_max > run_min  # (Q,1)
 
-        # knock the extracted candidate out of the tile (in place)
-        s_ref[...] = jnp.where((col == cand_col) & better, NEG_INF, s_cur)
+            # argmax of the chunk row (lowest column on ties)
+            cand_col = jnp.min(
+                jnp.where(s_cur >= cur_max, ccol, big), axis=1, keepdims=True
+            )
+            # argmin of the running top-k row
+            min_slot = jnp.min(
+                jnp.where(vals_ref[...] <= run_min, slot_ids, big),
+                axis=1,
+                keepdims=True,
+            )
+            # replace the min slot where the candidate is better
+            do = better & (slot_ids == min_slot)
+            vals_ref[...] = jnp.where(do, cur_max, vals_ref[...])
+            idx_ref[...] = jnp.where(do, cand_col, idx_ref[...])
+            # knock the extracted candidate out of the chunk (in place)
+            s_ref[csl] = jnp.where((ccol == cand_col) & better, NEG_INF, s_cur)
 
-    def do_merge():
-        # Up to k_pad insertions; stop early when the tile has nothing
-        # better than the current k-th best.
         def cond(i):
             run_min = jnp.min(vals_ref[...], axis=1)
-            cur_max = jnp.max(s_ref[...], axis=1)
+            cur_max = jnp.max(s_ref[csl], axis=1)
             return jnp.logical_and(i < k_pad, jnp.any(cur_max > run_min))
 
         def body(i):
-            merge_step()
+            step()
             return i + 1
 
         jax.lax.while_loop(cond, body, jnp.int32(0))
 
-    # Skip the whole merge when the tile can't contribute (common case).
+    # Chunk-level predication: only chunks holding something better than
+    # the current k-th best pay merge passes (rare after a few tiles).
     run_min_all = jnp.min(vals_ref[...], axis=1)
-    tile_max = jnp.max(s_ref[...], axis=1)
+    for c0 in range(0, block_m, merge_chunk):
+        chunk_max = jnp.max(s_ref[:, pl.ds(c0, merge_chunk)], axis=1)
 
-    @pl.when(jnp.any(tile_max > run_min_all))
-    def _():
-        do_merge()
+        @pl.when(jnp.any(chunk_max > run_min_all))
+        def _(c0=c0):
+            merge_chunk_loop(c0)
 
     @pl.when(j == n_bank_tiles - 1)
     def _store():
@@ -143,7 +152,9 @@ def _knn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_q", "block_m", "sorted_results", "interpret"),
+    static_argnames=(
+        "k", "block_q", "block_m", "merge_chunk", "sorted_results", "interpret"
+    ),
 )
 def pallas_knn(
     queries: jax.Array,
@@ -153,6 +164,7 @@ def pallas_knn(
     valid_rows: Optional[jax.Array | int] = None,
     block_q: int = 512,
     block_m: int = 1024,
+    merge_chunk: Optional[int] = None,
     sorted_results: bool = True,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -214,8 +226,18 @@ def pallas_knn(
             pltpu.VMEM((block_q, block_m), jnp.float32),
         ],
     )
+    # Measured on v5e (1M bank): sub-tile merge chunks are SLOWER than one
+    # full-width merge (52k q/s at block_m vs 29k at block_m/8 — the extra
+    # predicated regions cost more than the narrower passes save), so the
+    # default is a single chunk; the knob remains for other shapes.
+    merge_chunk = min(merge_chunk or block_m, block_m)
+    assert block_m % merge_chunk == 0, (block_m, merge_chunk)
     kernel = functools.partial(
-        _knn_kernel, k_pad=k_pad, block_m=block_m, n_bank_tiles=n_bank_tiles
+        _knn_kernel,
+        k_pad=k_pad,
+        block_m=block_m,
+        n_bank_tiles=n_bank_tiles,
+        merge_chunk=merge_chunk,
     )
     itemsize = jnp.dtype(queries.dtype).itemsize
     vmem_bytes = (
