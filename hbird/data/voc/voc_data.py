@@ -1,0 +1,3 @@
+"""Compat re-export matching the reference module path (folder and tar layouts are unified in hbird_tpu — the *_tar_data module names resolve to the same classes)."""
+
+from hbird_tpu.data.voc import VOCDataModule, VOCDataset, TrainXVOCValDataModule

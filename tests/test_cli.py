@@ -80,7 +80,11 @@ class TestCompatLayer:
         from hbird.utils.io import list_files, read_file_set  # noqa: F401
         from hbird.utils.transforms import IMAGENET_STD, get_hbird_val_transforms  # noqa: F401
         from hbird.data import get_dataset  # noqa: F401
-        from hbird.data.voc_data import TrainXVOCValDataModule, VOCDataModule  # noqa: F401
+        from hbird.data.voc.voc_data import TrainXVOCValDataModule, VOCDataModule  # noqa: F401
+        from hbird.data.voc.voc_tar_data import VOCDataModule as VOCDataModuleTar  # noqa: F401
+        from hbird.data.ade20k.ade20k_data import Ade20kDataModule  # noqa: F401
+        from hbird.data.cityscapes.cityscapes_tar_data import CityscapesDataModule  # noqa: F401
+        from hbird.data.coco.coco_data import CocoDataModule  # noqa: F401
 
         # Reference parity detail: STD[2] keeps the 0.255 value by default.
         assert IMAGENET_STD[2] == 0.255
