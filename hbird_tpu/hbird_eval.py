@@ -113,7 +113,10 @@ class HbirdEvaluation:
         n_neighbours: k (default 30).
         augmentation_epoch: memory-build passes over the train loader.
         device: accepted for API parity; placement is managed by JAX.
-        nn_method: 'faiss'/'exact' (exact flat) or 'scann'/'approx'.
+        nn_method: 'faiss'/'exact' (exact flat) or 'scann'/'approx'
+            (default 'scann', matching the reference signature — the approx
+            backend's default reorder(120) re-ranks exactly, so defaults
+            give near-exact results).
         nn_params: extra backend kwargs (use_fp16, idx_shard, recall_target,
             num_leaves, ... — see hbird_tpu/nn/).
         memory_size: bank row cap; enables per-image rarity sampling.
@@ -132,7 +135,7 @@ class HbirdEvaluation:
         n_neighbours: int = 30,
         augmentation_epoch: int = 1,
         device=None,
-        nn_method: str = "exact",
+        nn_method: str = "scann",
         nn_params: Optional[Dict[str, Any]] = None,
         memory_size: Optional[int] = None,
         dataset_size: Optional[int] = None,
@@ -563,7 +566,7 @@ def hbird_evaluation(
     device: str = "tpu",
     return_knn_details: bool = False,
     n_neighbours: int = 30,
-    nn_method: str = "exact",
+    nn_method: str = "scann",
     nn_params: Optional[Dict[str, Any]] = None,
     ftr_extr_fn=None,
     memory_size: Optional[int] = None,
