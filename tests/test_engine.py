@@ -73,6 +73,16 @@ def ceiling(voc_color):
     return m.compute(is_global_zero=True)[0]
 
 
+@pytest.fixture(autouse=True)
+def _seed_global_rng():
+    """Each test sees the same augmentation RNG stream regardless of test
+    order (train transforms draw from the stdlib global RNG)."""
+    import random as _random
+
+    _random.seed(1234)
+    yield
+
+
 class TestEndToEnd:
     def test_oracle_miou_high(self, voc_color, ceiling):
         miou = hbird_evaluation(
@@ -308,3 +318,38 @@ class TestOtherDatasetsEndToEnd:
         np.testing.assert_allclose(
             np.linalg.norm(kf, axis=-1), np.ones(kf.shape[:-1]), rtol=1e-4
         )
+
+    def test_ignore_index_override_rule(self, tmp_path):
+        """Caller's ignore_index wins only when != 255; otherwise the
+        dataset-local value applies (reference hbird_eval.py:714-715 —
+        ade20k's local ignore is 0)."""
+        from unittest import mock
+
+        from hbird_tpu.data.synthetic import make_ade20k_fixture
+        import hbird_tpu.hbird_eval as engine
+
+        root = str(tmp_path / "ade")
+        make_ade20k_fixture(root, seed=1)
+        seen = {}
+        orig = engine.HbirdEvaluation.evaluate
+
+        def spy(self, val_loader, eval_spatial_resolution, return_knn_details=False,
+                ignore_index=255):
+            seen["ignore"] = ignore_index
+            return orig(self, val_loader, eval_spatial_resolution,
+                        return_knn_details, ignore_index)
+
+        with mock.patch.object(engine.HbirdEvaluation, "evaluate", spy):
+            hbird_evaluation(
+                model=None, d_model=3, patch_size=PATCH, dataset_name="ade20k",
+                data_dir=root, batch_size=2, input_size=INPUT, n_neighbours=3,
+                nn_method="exact", ftr_extr_fn=oracle_fn, num_workers=0,
+            )
+            assert seen["ignore"] == 0  # default 255 -> dataset-local wins
+            hbird_evaluation(
+                model=None, d_model=3, patch_size=PATCH, dataset_name="ade20k",
+                data_dir=root, batch_size=2, input_size=INPUT, n_neighbours=3,
+                nn_method="exact", ftr_extr_fn=oracle_fn, num_workers=0,
+                ignore_index=7,
+            )
+            assert seen["ignore"] == 7  # explicit non-255 override wins
