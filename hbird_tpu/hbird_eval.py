@@ -178,6 +178,18 @@ class HbirdEvaluation:
                 raise ValueError("dataset_size must be provided when memory_size is set.")
             denom = dataset_size * augmentation_epoch
             self.num_sampled_features = max(1, memory_size // max(1, denom))
+            n_patches = eval_spatial_resolution * eval_spatial_resolution
+            if self.num_sampled_features > n_patches:
+                # More budget than patches exist: take every patch and let
+                # the final trim shrink the bank (the reference's topk would
+                # error here, hbird_eval.py:511).
+                logger.warning(
+                    "memory_size budgets %d patches/image but images only "
+                    "have %d; clamping (bank will be trimmed).",
+                    self.num_sampled_features,
+                    n_patches,
+                )
+                self.num_sampled_features = n_patches
             logger.info(
                 "Bounded memory: %d rows => %d sampled patches per image",
                 memory_size,

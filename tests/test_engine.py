@@ -353,3 +353,15 @@ class TestOtherDatasetsEndToEnd:
                 ignore_index=7,
             )
             assert seen["ignore"] == 7  # explicit non-255 override wins
+
+    def test_memory_size_exceeding_patch_count_clamps(self, voc_color):
+        # budget > patches/image must clamp (reference's topk would error)
+        # and produce a trimmed bank of n_train * patches rows.
+        miou = hbird_evaluation(
+            model=None, d_model=3, patch_size=PATCH, dataset_name="voc",
+            data_dir=voc_color, batch_size=4, input_size=INPUT,
+            n_neighbours=5, nn_method="exact", ftr_extr_fn=oracle_fn,
+            memory_size=12 * (S * S) * 10,  # 10x more than exists
+            num_workers=0,
+        )
+        assert 0.0 <= float(miou) <= 1.0
