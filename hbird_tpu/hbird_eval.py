@@ -163,6 +163,8 @@ class HbirdEvaluation:
         self.bf16_bank = bf16_bank
         self._key = jax.random.PRNGKey(seed)
         self.timer = PhaseTimer()
+        # Backbone weights as a device-resident jit argument (see _forward_fn).
+        _, self._fwd_operand = self._forward_fn()
 
         self.num_sampled_features: Optional[int] = None
         eval_spatial_resolution = feature_extractor.eval_spatial_resolution
@@ -226,17 +228,28 @@ class HbirdEvaluation:
         d = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         return ((n + d - 1) // d) * d
 
+    def _forward_fn(self):
+        """(operand, imgs) -> (feats, attn) with backbone weights passed as
+        a jit ARGUMENT — closing over large param pytrees would bake them
+        into the compiled program as constants (and overflow the remote
+        compiler's request limit for real backbones)."""
+        fe = self.feature_extractor
+        if hasattr(fe, "forward_features_pure"):
+            return fe.forward_features_pure, getattr(fe, "pure_operand", None)
+        return (lambda _operand, imgs: fe.forward_features(imgs)), None
+
     def _make_memory_step(self):
         fe = self.feature_extractor
         num_classes = self.num_classes
         bounded = self.memory_size is not None
         k_samples = self.num_sampled_features
+        fwd, _ = self._forward_fn()
 
-        def step(imgs, masks, key):
+        def step(imgs, masks, key, operand):
             # (B,1,H,W) float mask in [0,1] -> int labels; 255 -> 0
             y = jnp.rint(masks * 255.0).astype(jnp.int32)
             y = jnp.where(y == 255, 0, y)
-            feats, _ = fe.forward_features(imgs)  # (B, N, D)
+            feats, _ = fwd(operand, imgs)  # (B, N, D)
             input_size = imgs.shape[-1]
             s = fe.eval_spatial_resolution
             patch_size = input_size // s
@@ -297,7 +310,9 @@ class HbirdEvaluation:
                 x, valid = _pad_batch(x, batch_size)
                 y, _ = _pad_batch(y, batch_size)
                 self._key, sub = jax.random.split(self._key)
-                feats, labels = step(jnp.asarray(x), jnp.asarray(y), sub)
+                feats, labels = step(
+                    jnp.asarray(x), jnp.asarray(y), sub, self._fwd_operand
+                )
                 rows_per_img = feats.shape[0] // batch_size
                 n_rows = min(valid * rows_per_img, self.memory_size - idx) \
                     if bounded else valid * rows_per_img
@@ -437,11 +452,12 @@ class HbirdEvaluation:
         nn = self.NN_algorithm
         num_classes = self.num_classes
         k = self.n_neighbours
+        fwd, _ = self._forward_fn()
 
-        def step(imgs, masks):
+        def step(imgs, masks, operand):
             b, _, h, w = imgs.shape
             s = eval_spatial_resolution
-            feats, _ = fe.forward_features(imgs)  # (B, N, D)
+            feats, _ = fwd(operand, imgs)  # (B, N, D)
             d = feats.shape[-1]
             q = feats.reshape(-1, d)
             vals, idx, labels = nn.search_with_labels(q, k)  # (Q,k),(Q,k),(Q,k,C)
@@ -532,7 +548,9 @@ class HbirdEvaluation:
                 np.float32,
             )
             y_pad[:valid] = y
-            conf, pred, y_ids, details = step(jnp.asarray(x), jnp.asarray(y_pad))
+            conf, pred, y_ids, details = step(
+                jnp.asarray(x), jnp.asarray(y_pad), self._fwd_operand
+            )
             if in_flight is not None:
                 consume(in_flight)
             in_flight = (conf, pred, y_ids, details, valid)

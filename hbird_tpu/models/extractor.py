@@ -110,11 +110,21 @@ class FeatureExtractorSimple:
         self.d_model = d_model
         self.jittable = jittable
 
-    def forward_features(self, imgs) -> Tuple[jax.Array, Optional[jax.Array]]:
-        out = self.ftr_extr_fn(self.model, imgs)
+    @property
+    def pure_operand(self):
+        """Pytree passed as a jit ARGUMENT to the engine's fused steps (so
+        large weights are device buffers, not constants baked into the
+        compiled program)."""
+        return self.model
+
+    def forward_features_pure(self, model, imgs):
+        out = self.ftr_extr_fn(model, imgs)
         if isinstance(out, tuple):
             return out[0], (out[1] if len(out) > 1 else None)
         return out, None
+
+    def forward_features(self, imgs) -> Tuple[jax.Array, Optional[jax.Array]]:
+        return self.forward_features_pure(self.model, imgs)
 
     def __call__(self, imgs):
         return self.forward_features(imgs)
@@ -160,9 +170,16 @@ class FeatureExtractor:
         self.jittable = True
         self.model = params  # uniform attribute with FeatureExtractorSimple
 
-    def forward_features(self, imgs) -> Tuple[jax.Array, Optional[jax.Array]]:
-        out = self.vit.apply(self.params, imgs)
+    @property
+    def pure_operand(self):
+        return self.params
+
+    def forward_features_pure(self, params, imgs):
+        out = self.vit.apply(params, imgs)
         return out["x_norm_patchtokens"], None
+
+    def forward_features(self, imgs) -> Tuple[jax.Array, Optional[jax.Array]]:
+        return self.forward_features_pure(self.params, imgs)
 
     def forward_features_with_attention(self, imgs):
         out = self.vit.apply(self.params, imgs, return_attention=True)
