@@ -82,21 +82,16 @@ def _pad_batch(x: np.ndarray, batch_size: int) -> Tuple[np.ndarray, int]:
     return np.concatenate([x, pad]), n
 
 
-def _data_sharded_jit(step, mesh):
-    """jit a (imgs, masks[, key]) step with batches sharded over the mesh's
-    'data' axis (data parallelism for the backbone forward); no-op jit when
-    the mesh has no data axis."""
-    import inspect
-
+def _batch_sharding(mesh):
+    """NamedSharding for input batches over the mesh's 'data' axis (None
+    when unmeshed). Batches are placed explicitly with device_put so the
+    jitted steps inherit every argument's committed sharding (bank state
+    stays bank-sharded, params replicated, batches data-sharded)."""
     if mesh is None or mesh.shape.get("data", 1) <= 1:
-        return jax.jit(step)
+        return None
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    data = NamedSharding(mesh, P("data"))
-    repl = NamedSharding(mesh, P())
-    n_args = len(inspect.signature(step).parameters)
-    in_shardings = (data, data) + (repl,) * (n_args - 2)
-    return jax.jit(step, in_shardings=in_shardings)
+    return NamedSharding(mesh, P("data"))
 
 
 class HbirdEvaluation:
@@ -222,6 +217,12 @@ class HbirdEvaluation:
     # ------------------------------------------------------------------
     # Memory construction
     # ------------------------------------------------------------------
+    def _put_batch(self, x: np.ndarray):
+        sharding = _batch_sharding(self.mesh)
+        if sharding is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, sharding)
+
     def _pad_target(self, n: int) -> int:
         """Compiled batch size: first-batch size rounded up so it divides
         evenly over the mesh's data axis."""
@@ -268,7 +269,7 @@ class HbirdEvaluation:
 
         if not getattr(fe, "jittable", True):
             return step
-        return _data_sharded_jit(step, self.mesh)
+        return jax.jit(step)
 
     def _create_memory(
         self, train_loader, num_classes: int, eval_spatial_resolution: int
@@ -311,7 +312,7 @@ class HbirdEvaluation:
                 y, _ = _pad_batch(y, batch_size)
                 self._key, sub = jax.random.split(self._key)
                 feats, labels = step(
-                    jnp.asarray(x), jnp.asarray(y), sub, self._fwd_operand
+                    self._put_batch(x), self._put_batch(y), sub, self._fwd_operand
                 )
                 rows_per_img = feats.shape[0] // batch_size
                 n_rows = min(valid * rows_per_img, self.memory_size - idx) \
@@ -454,13 +455,15 @@ class HbirdEvaluation:
         k = self.n_neighbours
         fwd, _ = self._forward_fn()
 
-        def step(imgs, masks, operand):
+        def step(imgs, masks, operand, nn_state):
             b, _, h, w = imgs.shape
             s = eval_spatial_resolution
             feats, _ = fwd(operand, imgs)  # (B, N, D)
             d = feats.shape[-1]
             q = feats.reshape(-1, d)
-            vals, idx, labels = nn.search_with_labels(q, k)  # (Q,k),(Q,k),(Q,k,C)
+            vals, idx, labels = nn.search_with_labels_pure(
+                nn_state, q, k
+            )  # (Q,k),(Q,k),(Q,k,C)
             q_norm = jnp.linalg.norm(q, axis=-1)
             label_hat = cross_attention_from_scores(
                 vals.reshape(b, -1, k),
@@ -475,7 +478,9 @@ class HbirdEvaluation:
             y = jnp.rint(masks * 255.0).astype(jnp.int32).reshape(b, h, w)
             conf = confusion_matrix(y, pred, num_classes, num_classes, ignore_index)
             if return_knn_details:
-                key_feats = jnp.take(nn.bank, idx, axis=0).astype(jnp.float32)
+                key_feats = jnp.take(nn_state["bank"], idx, axis=0).astype(
+                    jnp.float32
+                )
                 return conf, pred, y, (key_feats.reshape(b, -1, k, d),
                                        labels.reshape(b, -1, k, num_classes),
                                        label_hat)
@@ -483,7 +488,7 @@ class HbirdEvaluation:
 
         if not getattr(fe, "jittable", True):
             return step
-        return _data_sharded_jit(step, self.mesh)
+        return jax.jit(step)
 
     def evaluate(
         self,
@@ -549,7 +554,10 @@ class HbirdEvaluation:
             )
             y_pad[:valid] = y
             conf, pred, y_ids, details = step(
-                jnp.asarray(x), jnp.asarray(y_pad), self._fwd_operand
+                self._put_batch(x),
+                self._put_batch(y_pad),
+                self._fwd_operand,
+                self.NN_algorithm.device_state,
             )
             if in_flight is not None:
                 consume(in_flight)

@@ -95,7 +95,18 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         )
         self.valid_rows = self.bank.shape[0]
 
+    @property
+    def device_state(self):
+        """Large device arrays as a pytree (jit-argument safe; see
+        search_exact.device_state)."""
+        return {"bank": self.bank, "labels": self.labels}
+
     def search_with_labels(self, q: jax.Array, k: Optional[int] = None):
+        return self.search_with_labels_pure(self.device_state, q, k)
+
+    def search_with_labels_pure(self, state, q: jax.Array, k: Optional[int] = None):
+        bank = state["bank"]
+        labels = state["labels"]
         k = k or self.n_neighbors
         # `reorder(C)` semantics (reference search_scann.py:32): grab C
         # approximate candidates, exact-rescore, keep the top k.
@@ -104,9 +115,9 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             and self.distance_measure == "dot_product"
         )
         return sharded_knn_with_labels(
-            q.astype(self.bank.dtype),
-            self.bank,
-            self.labels,
+            q.astype(bank.dtype),
+            bank,
+            labels,
             k,
             mesh=self.mesh,
             valid_rows=self.valid_rows,
@@ -115,8 +126,8 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             recall_target=self.recall_target,
             query_block=self.query_block,
             bank_block=self.bank_block,
-            rerank_bank=self.bank if rerank else None,
-            rerank_queries=q.astype(self.bank.dtype) if rerank else None,
+            rerank_bank=bank if rerank else None,
+            rerank_queries=q.astype(bank.dtype) if rerank else None,
             rerank_candidates=self.num_reordering_candidates if rerank else 0,
         )
 

@@ -133,26 +133,45 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         self.valid_rows = self.bank.shape[0]
 
     # ------------------------------------------------------------------
+    @property
+    def device_state(self):
+        """Large device arrays as a pytree, so the engine can pass them as
+        jit ARGUMENTS (closed-over multi-GB banks would be serialized into
+        the compiled program as constants)."""
+        state = {"bank": self.bank, "labels": self.labels}
+        if self.rerank_bank is not None:
+            state["rerank_bank"] = self.rerank_bank
+        return state
+
     def search_with_labels(
         self, q: jax.Array, k: Optional[int] = None
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """Device-resident fused search: (values, global indices, labels).
+        """Device-resident fused search: (values, global indices, labels)."""
+        return self.search_with_labels_pure(self.device_state, q, k)
+
+    def search_with_labels_pure(
+        self, state, q: jax.Array, k: Optional[int] = None
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Pure variant over an explicit state pytree (jit-argument safe).
 
         Traceable under jit — the engine calls this inside the fused eval
-        step.
+        step with `state=self.device_state` threaded through as arguments.
         """
+        bank = state["bank"]
+        labels = state["labels"]
+        rerank_bank = state.get("rerank_bank")
         k = k or self.n_neighbors
-        rerank = self.use_int8 and self.rerank_bank is not None
+        rerank = self.use_int8 and rerank_bank is not None
         if self.use_int8:
             q32 = q.astype(jnp.float32)
             q_scale = jnp.maximum(jnp.abs(q32).max(), 1e-12) / 127.0
             q_cast = jnp.clip(jnp.round(q32 / q_scale), -127, 127).astype(jnp.int8)
         else:
-            q_cast = q.astype(self.bank.dtype)
-        vals, idx, labels = sharded_knn_with_labels(
+            q_cast = q.astype(bank.dtype)
+        vals, idx, out_labels = sharded_knn_with_labels(
             q_cast,
-            self.bank,
-            self.labels,
+            bank,
+            labels,
             k,
             mesh=self.mesh,
             valid_rows=self.valid_rows,
@@ -160,7 +179,7 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
             query_block=self.query_block,
             bank_block=self.bank_block,
             kernel=self.kernel,
-            rerank_bank=self.rerank_bank if rerank else None,
+            rerank_bank=rerank_bank if rerank else None,
             rerank_queries=q.astype(jnp.bfloat16) if rerank else None,
             rerank_candidates=self.num_reordering_candidates if rerank else 0,
         )
@@ -169,7 +188,7 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
             # downstream cross-attention temperatures stay calibrated.
             # (Reranked scores are already exact bf16 dot products.)
             vals = vals * (self._bank_scale * q_scale)
-        return vals, idx, labels
+        return vals, idx, out_labels
 
     def find_nearest_neighbors(
         self, q, k: Optional[int] = None
