@@ -16,11 +16,26 @@ Formats by extension:
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 import numpy as np
 
 
-def save_memory(memory: np.ndarray, path: str) -> None:
+def memory_path_on_disk(path: str) -> Optional[str]:
+    """The actual file a bank at `path` lives in, or None.
+
+    save_memory appends '.npy' to extension-less paths, so existence
+    checks must probe both spellings.
+    """
+    for p in (path, path + ".npy"):
+        if os.path.isfile(p):
+            return p
+    return None
+
+
+def save_memory(memory: np.ndarray, path: str) -> str:
+    """Write the bank; returns the path actually written (save_memory
+    appends '.npy' when `path` has no recognized extension)."""
     memory = np.asarray(memory)
     d = os.path.dirname(path)
     if d:
@@ -32,7 +47,9 @@ def save_memory(memory: np.ndarray, path: str) -> None:
 
         torch.save(torch.from_numpy(np.ascontiguousarray(memory)), path)
     else:
-        np.save(path if path.endswith(".npy") else path + ".npy", memory)
+        path = path if path.endswith(".npy") else path + ".npy"
+        np.save(path, memory)
+    return path
 
 
 def load_memory(path: str) -> np.ndarray:
@@ -44,5 +61,5 @@ def load_memory(path: str) -> np.ndarray:
 
         t = torch.load(path, map_location="cpu", weights_only=False)
         return np.asarray(t.detach().cpu().numpy(), np.float32)
-    p = path if os.path.isfile(path) else path + ".npy"
+    p = memory_path_on_disk(path) or path
     return np.asarray(np.load(p), np.float32)

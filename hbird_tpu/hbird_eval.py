@@ -378,22 +378,24 @@ class HbirdEvaluation:
         from hbird_tpu.bank.io import save_memory
 
         if self.f_mem_p is not None:
-            save_memory(self.feature_memory, self.f_mem_p)
+            # save_memory may append '.npy'; keep the real path so a later
+            # load_memory() on this instance finds it.
+            self.f_mem_p = save_memory(self.feature_memory, self.f_mem_p)
             logger.info("Saved feature memory to: %s", self.f_mem_p)
         if self.l_mem_p is not None:
-            save_memory(self.label_memory, self.l_mem_p)
+            self.l_mem_p = save_memory(self.label_memory, self.l_mem_p)
             logger.info("Saved label memory to: %s", self.l_mem_p)
 
     def load_memory(self) -> bool:
         """Load previously saved memories (supports .npy/.npz and torch .pt —
         the strict-parity injection hook for reference-built banks)."""
-        from hbird_tpu.bank.io import load_memory
+        from hbird_tpu.bank.io import load_memory, memory_path_on_disk
 
         if (
             self.f_mem_p is not None
             and self.l_mem_p is not None
-            and os.path.isfile(self.f_mem_p)
-            and os.path.isfile(self.l_mem_p)
+            and memory_path_on_disk(self.f_mem_p) is not None
+            and memory_path_on_disk(self.l_mem_p) is not None
         ):
             self.feature_memory = load_memory(self.f_mem_p)
             self.label_memory = load_memory(self.l_mem_p)

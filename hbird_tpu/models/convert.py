@@ -81,7 +81,24 @@ def infer_config_from_timm_sd(
     else:
         mlp_ratio = sd["blocks.0.mlp.fc1.weight"].shape[0] / d
     # Heads are not recoverable from shapes; use the standard 64-dim heads.
+    # This is WRONG for families with non-64-dim heads (e.g. MoCo-v3 ViT-S:
+    # 12 heads at width 384 = 32-dim heads) — attention outputs differ
+    # silently. The CLI presets pass an explicit config; direct convert()
+    # callers must too when their backbone deviates.
     num_heads = max(1, d // 64)
+    if d % 64 != 0 or d <= 384:
+        # d=384 is the known-ambiguous width: DINO ViT-S uses 6x64 heads,
+        # MoCo-v3 ViT-S uses 12x32.
+        import warnings
+
+        warnings.warn(
+            f"infer_config_from_timm_sd: assuming {num_heads} heads of dim "
+            f"{d // num_heads} for width {d}. Head count cannot be inferred "
+            "from weight shapes — pass an explicit ViTConfig(num_heads=...) "
+            "if this backbone uses non-64-dim heads (e.g. MoCo-v3 ViT-S has "
+            "12 heads at width 384).",
+            stacklevel=2,
+        )
     return ViTConfig(
         patch_size=p,
         width=d,

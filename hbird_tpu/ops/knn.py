@@ -227,6 +227,7 @@ def rerank_exact(
     cand_idx: jax.Array,
     k: int,
     query_block: int = 512,
+    cand_valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact re-scoring of candidate rows (ScaNN `reorder` semantics,
     reference hbird/nn/search_scann.py:32).
@@ -236,6 +237,11 @@ def rerank_exact(
         bank: (M, D) full/half-precision bank (the re-scoring table).
         cand_idx: (Q, C) candidate row ids from a fast/quantized scan.
         k: final neighbours (k <= C).
+        cand_valid: optional (Q, C) bool mask of real candidates. When a
+            bank (or shard) has fewer valid rows than C, the first pass
+            emits NEG_INF-masked filler indices; without the mask those
+            filler rows would be re-scored at their true dot products and
+            could (wrongly) win. Invalid candidates score NEG_INF here.
 
     Returns:
         (values, indices): (Q, k) exact dot-product scores + row ids,
@@ -249,21 +255,30 @@ def rerank_exact(
     if pad:
         queries = jnp.pad(queries, ((0, pad), (0, 0)))
         cand_idx = jnp.pad(cand_idx, ((0, pad), (0, 0)))
+        if cand_valid is not None:
+            cand_valid = jnp.pad(cand_valid, ((0, pad), (0, 0)))
     n_blocks = queries.shape[0] // qb
+    if cand_valid is None:
+        cand_valid = jnp.ones(cand_idx.shape, jnp.bool_)
 
     def body(_, blk):
-        q_blk, idx_blk = blk
+        q_blk, idx_blk, valid_blk = blk
         cand = jnp.take(bank, idx_blk, axis=0).astype(q_blk.dtype)  # (qb, C, D)
         scores = jnp.einsum(
             "qd,qcd->qc", q_blk, cand, preferred_element_type=jnp.float32
         )
+        scores = jnp.where(valid_blk, scores, NEG_INF)
         vals, sel = jax.lax.top_k(scores, k)
         return None, (vals, jnp.take_along_axis(idx_blk, sel, axis=-1))
 
     _, (vals, idx) = jax.lax.scan(
         body,
         None,
-        (queries.reshape(n_blocks, qb, d), cand_idx.reshape(n_blocks, qb, c)),
+        (
+            queries.reshape(n_blocks, qb, d),
+            cand_idx.reshape(n_blocks, qb, c),
+            cand_valid.reshape(n_blocks, qb, c),
+        ),
     )
     return vals.reshape(-1, k)[:q_n], idx.reshape(-1, k)[:q_n]
 

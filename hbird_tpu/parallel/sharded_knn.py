@@ -132,20 +132,31 @@ def sharded_knn_with_labels(
         if approx:
             search_kwargs["recall_target"] = recall_target
 
+    # A shard can hold fewer valid rows than the candidate count; first-pass
+    # filler candidates (score -inf) must not be re-scored as real rows.
+    def _cand_valid(cand_vals, cand_idx, n_valid):
+        return jnp.isfinite(cand_vals) & (cand_idx < n_valid)
+
     do_rerank = rerank_bank is not None and rerank_candidates > k
     if do_rerank:
         from hbird_tpu.ops.knn import rerank_exact
 
-        if rerank_queries is None:
-            rerank_queries = queries
+        # Never request more candidates than the bank can supply.
+        rerank_candidates = min(rerank_candidates, bank.shape[0])
+        do_rerank = rerank_candidates > k
+    if do_rerank and rerank_queries is None:
+        rerank_queries = queries
 
     if mesh is None or mesh.shape.get(bank_axis, 1) == 1:
         if do_rerank:
-            _, cand = search(
+            cvals, cand = search(
                 queries, bank, rerank_candidates, valid_rows=valid_rows,
                 **search_kwargs,
             )
-            vals, idx = rerank_exact(rerank_queries, rerank_bank, cand, k)
+            vals, idx = rerank_exact(
+                rerank_queries, rerank_bank, cand, k,
+                cand_valid=_cand_valid(cvals, cand, valid_rows),
+            )
         else:
             vals, idx = search(queries, bank, k, valid_rows=valid_rows, **search_kwargs)
         return vals, idx, jnp.take(labels, idx, axis=0)
@@ -153,6 +164,10 @@ def sharded_knn_with_labels(
     n_shards = mesh.shape[bank_axis]
     assert bank.shape[0] % n_shards == 0, "bank rows must divide the bank axis"
     shard_rows = bank.shape[0] // n_shards
+    # Per-shard candidate budget: a shard can supply at most shard_rows
+    # candidates; keep >= k so every shard still reranks (merged values must
+    # all be on the full-precision scale).
+    local_c = max(k, min(rerank_candidates, shard_rows)) if do_rerank else 0
 
     def local_search(q, bank_l, labels_l, valid_total, *rerank_args):
         i = jax.lax.axis_index(bank_axis)
@@ -160,11 +175,14 @@ def sharded_knn_with_labels(
         local_valid = jnp.clip(valid_total[0] - start, 0, shard_rows)
         if do_rerank:
             q_r, rbank_l = rerank_args
-            _, cand = search(
-                q, bank_l, rerank_candidates, valid_rows=local_valid,
+            cvals, cand = search(
+                q, bank_l, local_c, valid_rows=local_valid,
                 **search_kwargs,
             )
-            vals_l, idx_l = rerank_exact(q_r, rbank_l, cand, k)
+            vals_l, idx_l = rerank_exact(
+                q_r, rbank_l, cand, k,
+                cand_valid=_cand_valid(cvals, cand, local_valid),
+            )
         else:
             vals_l, idx_l = search(
                 q, bank_l, k, valid_rows=local_valid, **search_kwargs

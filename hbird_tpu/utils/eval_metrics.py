@@ -97,14 +97,18 @@ def confusion_matrix(
         g, p, v = chunk
         g_oh = jax.nn.one_hot(g, num_gt, dtype=jnp.float32) * v[:, None]
         p_oh = jax.nn.one_hot(p, num_pred, dtype=jnp.float32)
-        acc = acc + jnp.einsum(
+        partial = jnp.einsum(
             "ng,np->gp", g_oh, p_oh, preferred_element_type=jnp.float32
         )
-        return acc, None
+        # Per-chunk counts are <= _CHUNK (exact in f32); the running total
+        # is carried in int32 so a single huge update() call (e.g. the whole
+        # concatenated VOC val set, ~389M pixels) never hits the f32 2^24
+        # integer-precision cliff.
+        return acc + partial.astype(jnp.int32), None
 
-    init = jnp.zeros((num_gt, num_pred), jnp.float32)
+    init = jnp.zeros((num_gt, num_pred), jnp.int32)
     conf, _ = jax.lax.scan(body, init, (gt_c, pred_c, valid_c))
-    return conf.astype(jnp.int32)
+    return conf
 
 
 class PredsmIoU:
