@@ -110,6 +110,32 @@ def main() -> None:
     except Exception as e:  # diagnostics must not break the headline metric
         log(f"[fwd] skipped: {e}")
 
+    # End-to-end diagnostic (stderr only): synthetic 512-image memory build
+    # + 64-image evaluate through the full engine, so per-round e2e
+    # throughput (img/s for build and evaluate) is comparable across
+    # rounds. Runs in a subprocess to keep this process's JAX state clean.
+    try:
+        import os
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        proc = subprocess.run(
+            [
+                sys.executable, "-u", os.path.join(here, "scripts", "bench_e2e.py"),
+                "--preset", "dino_vits16", "--input-size", "224",
+                "--batch-size", "16", "--n-train", "512", "--n-val", "64",
+            ],
+            cwd=here, capture_output=True, text=True, timeout=2400,
+        )
+        log("[e2e] " + " | ".join(
+            line for line in (proc.stdout + proc.stderr).splitlines()
+            if any(s in line for s in ("memory+index", "evaluate:", "phase stats"))
+        ))
+        if proc.returncode != 0:
+            log(f"[e2e] FAILED rc={proc.returncode}: {(proc.stderr or '')[-500:]}")
+    except Exception as e:  # diagnostics must not break the headline metric
+        log(f"[e2e] skipped: {e}")
+
     qps = results.get("pallas_bf16", max(results.values()))
     target = 4130.0  # north-star-equivalent q/s/chip at 1.024M rows
     print(

@@ -35,7 +35,15 @@ def apply_pair_transform(pipeline, img: Image.Image, mask) -> tuple:
         img_t = to_tensor(img_t)
     if not isinstance(mask_t, np.ndarray):
         mask_t = mask_to_tensor(mask_t)
-    return np.asarray(img_t, np.float32), np.asarray(mask_t, np.float32)
+    # Keep uint8 batches uint8 (device-normalize pipelines): the 4x smaller
+    # host->device transfer is the point.
+    img_t = np.asarray(img_t)
+    mask_t = np.asarray(mask_t)
+    if img_t.dtype != np.uint8:
+        img_t = img_t.astype(np.float32, copy=False)
+    if mask_t.dtype != np.uint8:
+        mask_t = mask_t.astype(np.float32, copy=False)
+    return img_t, mask_t
 
 
 class SegDataModule:

@@ -87,6 +87,7 @@ class RunConfig:
 
     platform: Optional[str] = None  # force jax platform (e.g. 'cpu')
     loader_mode: str = "thread"  # 'process' scales host decode with cores
+    device_normalize: bool = True  # uint8 host feed + on-device normalize
 
     out: Optional[str] = None
     log_level: str = "INFO"
@@ -227,6 +228,7 @@ def run(cfg: RunConfig) -> Dict[str, Any]:
         train_fs_path=cfg.train_fs_path,
         val_fs_path=cfg.val_fs_path,
         loader_mode=cfg.loader_mode,
+        device_normalize=cfg.device_normalize,
         mesh=mesh,
         seed=cfg.seed or 123,
         bf16_bank=cfg.bf16_bank,
@@ -325,6 +327,9 @@ def build_parser() -> argparse.ArgumentParser:
     # Misc
     p.add_argument("--platform", type=str, default=None,
                    help="Force a JAX platform (e.g. 'cpu' for smoke tests).")
+    p.add_argument("--host-normalize", action="store_true",
+                   help="normalize images on the host (float32 feed) instead "
+                        "of the default uint8 feed + on-device normalize")
     p.add_argument("--loader-mode", choices=["thread", "process"], default="thread",
                    help="Data-loader workers: threads (shared tar index, "
                         "GIL-bound ~35-65 img/s) or spawned processes "
@@ -390,6 +395,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         mesh_bank=args.mesh_bank,
         platform=args.platform,
         loader_mode=args.loader_mode,
+        device_normalize=not bool(args.host_normalize),
         bf16_bank=bool(args.bf16_bank),
         compilation_cache=args.compilation_cache or None,
         out=args.out,

@@ -73,6 +73,15 @@ _NN_ALIASES = {
 }
 
 
+def _as_batch(x) -> np.ndarray:
+    """Loader output -> numpy batch; uint8 stays uint8 (device-normalize
+    pipelines ship 4x less data), everything else becomes float32."""
+    x = np.asarray(x)
+    if x.dtype == np.uint8:
+        return x
+    return x.astype(np.float32, copy=False)
+
+
 def _pad_batch(x: np.ndarray, batch_size: int) -> Tuple[np.ndarray, int]:
     """Zero-pad a ragged batch up to the compiled batch size."""
     n = x.shape[0]
@@ -140,8 +149,13 @@ class HbirdEvaluation:
         mesh=None,
         seed: int = 123,
         bf16_bank: bool = False,
+        device_norm=None,
     ) -> None:
         del device  # placement is managed by JAX/the mesh
+        # (mean, std) for on-device normalization of uint8 batches (see
+        # data/transforms device_normalize). Defaults to the transform
+        # module's IMAGENET constants when uint8 batches arrive.
+        self._device_norm = device_norm
         self.nn_params = dict(nn_params or {})
         self.feature_extractor = feature_extractor
         method = _NN_ALIASES.get(nn_method.lower())
@@ -239,6 +253,29 @@ class HbirdEvaluation:
             return fe.forward_features_pure, getattr(fe, "pure_operand", None)
         return (lambda _operand, imgs: fe.forward_features(imgs)), None
 
+    def _prep_images(self, imgs):
+        """uint8 batches are normalized on-device: (x/255 - mean)/std —
+        the host ships 4x less data (see transforms device_normalize)."""
+        if imgs.dtype != jnp.uint8:
+            return imgs
+        if self._device_norm is not None:
+            mean, std = self._device_norm
+        else:
+            from hbird_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+            mean, std = IMAGENET_MEAN, IMAGENET_STD
+        mean = jnp.asarray(mean, jnp.float32).reshape(1, -1, 1, 1)
+        std = jnp.asarray(std, jnp.float32).reshape(1, -1, 1, 1)
+        return (imgs.astype(jnp.float32) / jnp.float32(255.0) - mean) / std
+
+    @staticmethod
+    def _mask_ids(masks):
+        """Masks arrive either float id/255 (ToTensor convention) or raw
+        uint8 class ids (device_normalize pipelines)."""
+        if masks.dtype == jnp.uint8:
+            return masks.astype(jnp.int32)
+        return jnp.rint(masks * 255.0).astype(jnp.int32)
+
     def _make_memory_step(self):
         fe = self.feature_extractor
         num_classes = self.num_classes
@@ -247,10 +284,10 @@ class HbirdEvaluation:
         fwd, _ = self._forward_fn()
 
         def step(imgs, masks, key, operand):
-            # (B,1,H,W) float mask in [0,1] -> int labels; 255 -> 0
-            y = jnp.rint(masks * 255.0).astype(jnp.int32)
+            # (B,1,H,W) mask -> int labels; 255 -> 0
+            y = self._mask_ids(masks)
             y = jnp.where(y == 255, 0, y)
-            feats, _ = fwd(operand, imgs)  # (B, N, D)
+            feats, _ = fwd(operand, self._prep_images(imgs))  # (B, N, D)
             input_size = imgs.shape[-1]
             s = fe.eval_spatial_resolution
             patch_size = input_size // s
@@ -286,6 +323,16 @@ class HbirdEvaluation:
             and self.mesh is None
             and getattr(self.feature_extractor, "jittable", True)
         )
+        # Unbounded banks also stay device-resident when unmeshed: pulling
+        # every (rows, D) feature slab to host costs bank_bytes of
+        # host<->device bandwidth (tens of seconds through a remote tunnel)
+        # for data the NN index wants back on device anyway. Mesh-sharded
+        # banks are assembled host-side then placed shard-wise.
+        device_chunks = (
+            not bounded
+            and self.mesh is None
+            and getattr(self.feature_extractor, "jittable", True)
+        )
         feature_chunks: List[np.ndarray] = []
         label_chunks: List[np.ndarray] = []
         idx = 0
@@ -302,10 +349,54 @@ class HbirdEvaluation:
             def write_rows(bank, rows, start):
                 return jax.lax.dynamic_update_slice(bank, rows, (start, 0))
 
+        def consume(feats, labels, valid, bs):
+            """Fold one finished step's output into the bank (may block on
+            the device for host-bound paths)."""
+            nonlocal idx, dev_feats, dev_labels
+            rows_per_img = feats.shape[0] // bs
+            n_rows = min(valid * rows_per_img, self.memory_size - idx) \
+                if bounded else valid * rows_per_img
+            if bounded and device_accum:
+                # Full batches write in place (async dispatch, no host
+                # sync); the (rare) ragged tail batch goes through a host
+                # slice to keep shapes static.
+                if n_rows == feats.shape[0]:
+                    dev_feats = write_rows(dev_feats, feats, idx)
+                    dev_labels = write_rows(dev_labels, labels, idx)
+                elif n_rows > 0:
+                    f_np = np.asarray(feats[:n_rows], np.float32)
+                    l_np = np.asarray(labels[:n_rows], np.float32)
+                    dev_feats = dev_feats.at[idx : idx + n_rows].set(f_np)
+                    dev_labels = dev_labels.at[idx : idx + n_rows].set(l_np)
+                idx += n_rows
+                return
+            if device_chunks:
+                # Slicing is lazy/on-device; no host transfer here.
+                feature_chunks.append(feats[:n_rows])
+                label_chunks.append(labels[:n_rows])
+                return
+            feats_np = np.asarray(feats[:n_rows], np.float32)
+            labels_np = np.asarray(labels[:n_rows], np.float32)
+            if bounded:
+                self.feature_memory[idx : idx + n_rows] = feats_np
+                self.label_memory[idx : idx + n_rows] = labels_np
+                idx += n_rows
+            else:
+                feature_chunks.append(feats_np)
+                label_chunks.append(labels_np)
+
+        # One-batch pipeline lag (same pattern as the eval loop): batch
+        # i+1 is host-prepped, transferred, and DISPATCHED before batch i's
+        # results are pulled to host, so device compute overlaps host
+        # decode/augment/transfer instead of serializing behind it.
+        in_flight = None
+        if not device_accum:
+            dev_feats = dev_labels = None
+        n_imgs = 0
         for epoch in tqdm(range(self.augmentation_epoch), desc="Augmentation loop"):
             for x, y in tqdm(train_loader, desc="Memory creation loop", leave=False):
-                x = np.asarray(x, np.float32)
-                y = np.asarray(y, np.float32)
+                x = _as_batch(x)
+                y = _as_batch(y)
                 if batch_size is None:
                     batch_size = self._pad_target(x.shape[0])
                 x, valid = _pad_batch(x, batch_size)
@@ -314,31 +405,13 @@ class HbirdEvaluation:
                 feats, labels = step(
                     self._put_batch(x), self._put_batch(y), sub, self._fwd_operand
                 )
-                rows_per_img = feats.shape[0] // batch_size
-                n_rows = min(valid * rows_per_img, self.memory_size - idx) \
-                    if bounded else valid * rows_per_img
-                if bounded and device_accum:
-                    # Full batches write in place; the (rare) ragged tail
-                    # batch goes through a host slice to keep shapes static.
-                    if n_rows == feats.shape[0]:
-                        dev_feats = write_rows(dev_feats, feats, idx)
-                        dev_labels = write_rows(dev_labels, labels, idx)
-                    elif n_rows > 0:
-                        f_np = np.asarray(feats[:n_rows], np.float32)
-                        l_np = np.asarray(labels[:n_rows], np.float32)
-                        dev_feats = dev_feats.at[idx : idx + n_rows].set(f_np)
-                        dev_labels = dev_labels.at[idx : idx + n_rows].set(l_np)
-                    idx += n_rows
-                    continue
-                feats_np = np.asarray(feats[:n_rows], np.float32)
-                labels_np = np.asarray(labels[:n_rows], np.float32)
-                if bounded:
-                    self.feature_memory[idx : idx + n_rows] = feats_np
-                    self.label_memory[idx : idx + n_rows] = labels_np
-                    idx += n_rows
-                else:
-                    feature_chunks.append(feats_np)
-                    label_chunks.append(labels_np)
+                n_imgs += valid
+                prev, in_flight = in_flight, (feats, labels, valid, batch_size)
+                if prev is not None:
+                    consume(*prev)
+        if in_flight is not None:
+            consume(*in_flight)
+        self.timer.add_items("memory_build", n_imgs)
 
         if device_accum:
             self.feature_memory = dev_feats
@@ -351,13 +424,14 @@ class HbirdEvaluation:
             return idx
 
         if not bounded:
+            cat = jnp.concatenate if device_chunks else np.concatenate
             self.feature_memory = (
-                np.concatenate(feature_chunks)
+                cat(feature_chunks)
                 if feature_chunks
                 else np.zeros((0, self.feature_extractor.d_model), np.float32)
             )
             self.label_memory = (
-                np.concatenate(label_chunks)
+                cat(label_chunks)
                 if label_chunks
                 else np.zeros((0, num_classes), np.float32)
             )
@@ -460,7 +534,7 @@ class HbirdEvaluation:
         def step(imgs, masks, operand, nn_state):
             b, _, h, w = imgs.shape
             s = eval_spatial_resolution
-            feats, _ = fwd(operand, imgs)  # (B, N, D)
+            feats, _ = fwd(operand, self._prep_images(imgs))  # (B, N, D)
             d = feats.shape[-1]
             q = feats.reshape(-1, d)
             vals, idx, labels = nn.search_with_labels_pure(
@@ -477,8 +551,13 @@ class HbirdEvaluation:
                 lh, (b, num_classes, h, w), method="bilinear", antialias=False
             )
             pred = jnp.argmax(resized, axis=1)  # (B, H, W)
-            y = jnp.rint(masks * 255.0).astype(jnp.int32).reshape(b, h, w)
+            y = self._mask_ids(masks).reshape(b, h, w)
             conf = confusion_matrix(y, pred, num_classes, num_classes, ignore_index)
+            if num_classes <= 255:
+                # Class ids (and the 255 ignore sentinel) fit in uint8 —
+                # quarters the per-batch device->host result transfer.
+                pred = pred.astype(jnp.uint8)
+                y = jnp.clip(y, 0, 255).astype(jnp.uint8)
             if return_knn_details:
                 key_feats = jnp.take(nn_state["bank"], idx, axis=0).astype(
                     jnp.float32
@@ -541,19 +620,26 @@ class HbirdEvaluation:
         # One-batch pipeline lag: batch i+1 is dispatched (async) before
         # batch i's results are pulled to host, overlapping device compute
         # and host decode/transfer.
+        timing = os.environ.get("HBIRD_EVAL_TIMING")
+        t_prev = time.perf_counter()
         in_flight = None
         for x, y in tqdm(val_loader, desc="Evaluation loop"):
-            x = np.asarray(x, np.float32)
-            y = np.asarray(y, np.float32)
+            if timing:
+                t_host = time.perf_counter()
+                logger.info("[t] host feed: %.3fs", t_host - t_prev)
+            x = _as_batch(x)
+            y = _as_batch(y)
             if batch_size is None:
                 batch_size = self._pad_target(x.shape[0])
             x, valid = _pad_batch(x, batch_size)
             # Padded images: force all-ignore GT so they don't touch the metric.
-            y_pad = np.full(
-                (batch_size,) + y.shape[1:],
-                (ignore_index if ignore_index is not None else 255) / 255.0,
-                np.float32,
-            )
+            ign = ignore_index if ignore_index is not None else 255
+            if y.dtype == np.uint8:
+                y_pad = np.full((batch_size,) + y.shape[1:], ign, np.uint8)
+            else:
+                y_pad = np.full(
+                    (batch_size,) + y.shape[1:], ign / 255.0, np.float32
+                )
             y_pad[:valid] = y
             conf, pred, y_ids, details = step(
                 self._put_batch(x),
@@ -561,8 +647,14 @@ class HbirdEvaluation:
                 self._fwd_operand,
                 self.NN_algorithm.device_state,
             )
+            if timing:
+                t_disp = time.perf_counter()
+                logger.info("[t] pad+put+dispatch: %.3fs", t_disp - t_host)
             if in_flight is not None:
                 consume(in_flight)
+            if timing:
+                logger.info("[t] consume prev: %.3fs", time.perf_counter() - t_disp)
+                t_prev = time.perf_counter()
             in_flight = (conf, pred, y_ids, details, valid)
         if in_flight is not None:
             consume(in_flight)
@@ -577,8 +669,11 @@ class HbirdEvaluation:
             n_imgs / max(dt, 1e-9),
         )
         with self.timer.phase("metric_compute"):
+            # return_reordered=False: the engine (like the reference's
+            # evaluate, hbird_eval.py:253) only consumes jac — remapping
+            # the ~16M-pixel pred stream would cost seconds for nothing.
             jac, tp, fp, fn, reordered_preds, matched_bg_clusters = metric.compute(
-                is_global_zero=True
+                is_global_zero=True, return_reordered=False
             )
         if return_knn_details:
             details_out = {
@@ -622,9 +717,16 @@ def hbird_evaluation(
     f_mem_p: Optional[str] = None,
     l_mem_p: Optional[str] = None,
     loader_mode: str = "thread",
+    device_normalize: bool = True,
 ):
     """High-level one-call evaluation (signature parity with reference
     hbird_eval.py:640-722, plus TPU keyword-only extras).
+
+    device_normalize (default True): the host feed ships uint8 images and
+    class-id masks; (x/255 - mean)/std runs on-device inside the jitted
+    steps. 4x less host->device traffic (usually the memory-build
+    bottleneck), numerically the same formula in f32. Set False to feed
+    pre-normalized float batches (the reference's convention).
 
     Unlike the reference wrapper (which never forwards the persistence
     paths, hbird_eval.py:701-712), f_mem_p/l_mem_p are accepted here and
@@ -664,8 +766,12 @@ def hbird_evaluation(
             d_model=d_model,
         )
 
-    train_transforms = get_hbird_train_transforms(input_size)
-    val_transforms = get_hbird_val_transforms(input_size)
+    train_transforms = get_hbird_train_transforms(
+        input_size, device_normalize=device_normalize
+    )
+    val_transforms = get_hbird_val_transforms(
+        input_size, device_normalize=device_normalize
+    )
 
     dataset, ignore_index_local = get_dataset(
         dataset_name,
@@ -699,6 +805,7 @@ def hbird_evaluation(
         mesh=mesh,
         seed=seed,
         bf16_bank=bf16_bank,
+        device_norm=train_transforms.get("device_norm"),
     )
 
     # Dataset-local ignore_index wins unless the caller overrides with a

@@ -41,8 +41,15 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         query_block: Optional[int] = None,
         bank_block: Optional[int] = None,
         kernel: str = "auto",
+        shard_strategy: str = "gather",
         **kwargs,
     ):
+        # 'gather': replicated queries + per-shard top-k + all_gather merge.
+        # 'ring': query-sharded ppermute ring (nothing replicated; see
+        # parallel/sharded_knn.ring_knn_with_labels). Only meaningful with
+        # a multi-device bank mesh.
+        assert shard_strategy in ("gather", "ring"), shard_strategy
+        self.shard_strategy = shard_strategy
         self.use_fp16 = use_fp16
         self.use_int8 = use_int8
         # ScaNN-style exact re-ordering of quantized-scan candidates
@@ -86,7 +93,11 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
             # Global-scale symmetric quantization (the bank analogue of
             # ScaNN's quantized scoring): ordering of int32 scores equals
             # ordering of the quantized dot products.
-            bank_f = jnp.asarray(np.asarray(self.feature_memory, np.float32))
+            bank_f = (
+                self.feature_memory.astype(jnp.float32)
+                if isinstance(self.feature_memory, jax.Array)
+                else jnp.asarray(np.asarray(self.feature_memory, np.float32))
+            )
             self._bank_scale = jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
             if self.num_reordering_candidates > self.n_neighbors:
                 # Full-precision copy for the exact re-ordering pass (bf16:
@@ -168,6 +179,33 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
             q_cast = jnp.clip(jnp.round(q32 / q_scale), -127, 127).astype(jnp.int8)
         else:
             q_cast = q.astype(bank.dtype)
+        if (
+            self.shard_strategy == "ring"
+            and self.mesh is not None
+            and self.mesh.shape.get("bank", 1) > 1
+        ):
+            if rerank:
+                raise NotImplementedError(
+                    "shard_strategy='ring' does not support int8+rerank yet; "
+                    "use the gather strategy"
+                )
+            from hbird_tpu.parallel.sharded_knn import ring_knn_with_labels
+
+            vals, idx, out_labels = ring_knn_with_labels(
+                q_cast,
+                bank,
+                labels,
+                k,
+                mesh=self.mesh,
+                valid_rows=self.valid_rows,
+                distance=self.distance_measure,
+                query_block=self.query_block,
+                bank_block=self.bank_block,
+                kernel=self.kernel,
+            )
+            if self.use_int8:
+                vals = vals * (self._bank_scale * q_scale)
+            return vals, idx, out_labels
         vals, idx, out_labels = sharded_knn_with_labels(
             q_cast,
             bank,

@@ -177,7 +177,9 @@ class PredsmIoU:
         the reordered-preds stream."""
         self._conf_mat += np.asarray(conf, dtype=np.int64)
         if self.store_reordered_preds and pred is not None:
-            self._pred_chunks.append(np.asarray(pred).reshape(-1).astype(np.int32))
+            # Store in the incoming dtype (uint8 from the fused eval step);
+            # per-batch astype passes add up over a whole val set.
+            self._pred_chunks.append(np.asarray(pred).reshape(-1))
 
     # ------------------------------------------------------------------
     def _score_matrix(self, precision_based: bool = False) -> np.ndarray:
@@ -282,13 +284,15 @@ class PredsmIoU:
                 pred_all = np.concatenate(self._pred_chunks)
             else:
                 pred_all = np.zeros((0,), np.int64)
+            # Keep as an int64 ndarray and index with the stored dtype
+            # directly: a whole val set is ~16M pixels, and each extra
+            # astype/.tolist() pass costs seconds on a slow host.
             if mapping is None:
-                reordered = pred_all.astype(np.int64)
+                reordered_list = pred_all.astype(np.int64)
             else:
-                reordered = mapping[pred_all.astype(np.int64)]
-            reordered_list = reordered.astype(np.int64).tolist()
+                reordered_list = mapping[pred_all]
         else:
-            reordered_list = []
+            reordered_list = np.zeros((0,), np.int64)
 
         return miou, tp, fp, fn, reordered_list, matched_bg
 

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--memory-size", type=int, default=None)
     ap.add_argument("--kernel", default="auto")
     ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--host-normalize", action="store_true",
+                    help="f32 host feed (legacy) instead of uint8 + "
+                         "on-device normalize")
     args = ap.parse_args()
 
     print("device:", jax.devices(), flush=True)
@@ -62,8 +65,9 @@ def main():
         vit, params, eval_spatial_resolution=s, d_model=cfg.width, use_bf16=args.bf16
     )
 
-    tr = get_hbird_train_transforms(args.input_size)
-    va = get_hbird_val_transforms(args.input_size)
+    dev_norm = not args.host_normalize
+    tr = get_hbird_train_transforms(args.input_size, device_normalize=dev_norm)
+    va = get_hbird_val_transforms(args.input_size, device_normalize=dev_norm)
     ds, ign = get_dataset("voc", root, args.batch_size, 8, tr, va, None, None)
 
     t0 = time.time()
@@ -77,6 +81,7 @@ def main():
         memory_size=args.memory_size,
         dataset_size=ds.get_train_dataset_size(),
         bf16_bank=True,
+        device_norm=tr.get("device_norm"),
     )
     print(f"memory+index: {time.time()-t0:.1f}s "
           f"({ev.feature_memory.shape[0]} rows)", flush=True)
