@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from hbird_tpu.ops.knn import exact_knn, approx_knn
+from hbird_tpu.ops.knn import NEG_INF, _merge_topk, exact_knn, approx_knn
 
 
 def pad_rows_for_mesh(n_rows: int, n_shards: int, block: int = 8) -> int:
@@ -224,3 +224,140 @@ def sharded_knn_with_labels(
         check_vma=False,
     )
     return fn(*args)
+
+
+def ring_knn_with_labels(
+    queries: jax.Array,
+    bank: jax.Array,
+    labels: jax.Array,
+    k: int,
+    *,
+    mesh: Mesh,
+    bank_axis: str = "bank",
+    valid_rows: Optional[int | jax.Array] = None,
+    distance: str = "dot_product",
+    kernel: str = "xla",
+    query_block: int = 1024,
+    bank_block: int = 8192,
+    query_partition: Optional[Tuple[str, ...]] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Query-sharded ring search: nothing is replicated across the mesh.
+
+    The all-gather merge (`sharded_knn_with_labels`) replicates the full
+    query set on every bank shard — at full-VOC scale (~2M queries x 8
+    chips) that is 8x redundant query HBM plus an avoidable all_gather.
+    Here queries are sharded too: each device holds Q/n queries and M/n
+    bank rows, and query BLOCKS rotate around the `bank_axis` ring via
+    ppermute, carrying their running top-k:
+
+        step s: score the visiting block against the resident shard,
+                merge into the block's carried (values, global ids),
+                forward block+carry to the next device.
+
+    After n steps every block has visited every shard and is back home
+    with its complete top-k. A second n-step ring accumulates neighbour
+    soft labels: each device adds the label rows it owns. Per-device HBM
+    is Q/n + M/n; total ICI traffic matches one all_gather of the queries
+    but is pipelined and never materialized.
+
+    The retrieval analogue of ring attention, replacing Faiss IndexShards
+    semantics (reference hbird/nn/search_faiss.py:53-63) without the
+    replicated-query cost.
+
+    Args:
+        queries: (Q, D) logical array (any placement; shard_map reshards).
+        bank / labels: (M, D) / (M, C), row-sharded over `bank_axis`.
+        query_partition: mesh axes partitioning the query dim (default
+            (bank_axis,); pass ('data', 'bank') on a 2D mesh so each data
+            row runs its own ring).
+
+    Returns:
+        (values, indices, neighbour_labels): (Q, k), (Q, k), (Q, k, C) —
+        logically full-size, device-sharded over `query_partition`.
+    """
+    n = mesh.shape[bank_axis]
+    assert bank.shape[0] % n == 0, "bank rows must divide the bank axis"
+    shard_rows = bank.shape[0] // n
+    if valid_rows is None:
+        valid_rows = bank.shape[0]
+    valid_rows = jnp.asarray(valid_rows, jnp.int32)
+    parts = tuple(query_partition or (bank_axis,))
+    total_parts = 1
+    for a in parts:
+        total_parts *= mesh.shape[a]
+
+    q_n = queries.shape[0]
+    pad = (-q_n) % total_parts
+    if pad:
+        queries = jnp.pad(queries, ((0, pad), (0, 0)))
+
+    if kernel == "pallas":
+        if distance != "dot_product":
+            raise ValueError("pallas kernel supports dot_product only")
+        from hbird_tpu.ops.knn_pallas import pallas_knn
+
+        def search(q, b, k_, valid_rows):
+            return pallas_knn(
+                q, b, k_, valid_rows=valid_rows,
+                block_q=query_block, block_m=bank_block,
+            )
+    else:
+        def search(q, b, k_, valid_rows):
+            return exact_knn(
+                q, b, k_, distance=distance, valid_rows=valid_rows,
+                query_block=query_block, bank_block=bank_block,
+            )
+
+    perm = [(d, (d + 1) % n) for d in range(n)]
+
+    def local(q, bank_l, labels_l, valid_total):
+        i = jax.lax.axis_index(bank_axis)
+        start = (i * shard_rows).astype(jnp.int32)
+        local_valid = jnp.clip(valid_total[0] - start, 0, shard_rows)
+        nc = labels_l.shape[1]
+
+        def score_body(_, carry):
+            q_c, vals, idx = carry
+            b_vals, b_idx = search(q_c, bank_l, k, local_valid)
+            vals, idx = _merge_topk(vals, idx, b_vals, b_idx + start, k)
+            q_c = jax.lax.ppermute(q_c, bank_axis, perm)
+            vals = jax.lax.ppermute(vals, bank_axis, perm)
+            idx = jax.lax.ppermute(idx, bank_axis, perm)
+            return q_c, vals, idx
+
+        init = (
+            q,
+            jnp.full((q.shape[0], k), NEG_INF, jnp.float32),
+            jnp.zeros((q.shape[0], k), jnp.int32),
+        )
+        _, vals, idx = jax.lax.fori_loop(0, n, score_body, init)
+
+        def label_body(_, carry):
+            idx_c, lab = carry
+            mine = (idx_c >= start) & (idx_c < start + shard_rows)
+            rows = jnp.where(mine, idx_c - start, 0)
+            contrib = jnp.where(
+                mine[..., None],
+                jnp.take(labels_l, rows, axis=0).astype(jnp.float32),
+                0.0,
+            )
+            lab = lab + contrib
+            idx_c = jax.lax.ppermute(idx_c, bank_axis, perm)
+            lab = jax.lax.ppermute(lab, bank_axis, perm)
+            return idx_c, lab
+
+        lab0 = jnp.zeros(idx.shape + (nc,), jnp.float32)
+        idx_home, lab = jax.lax.fori_loop(0, n, label_body, (idx, lab0))
+        return vals, idx_home, lab
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(parts), P(bank_axis), P(bank_axis), P()),
+        out_specs=(P(parts), P(parts), P(parts)),
+        check_vma=False,
+    )
+    vals, idx, lab = fn(queries, bank, labels, valid_rows.reshape(1))
+    if pad:
+        vals, idx, lab = vals[:q_n], idx[:q_n], lab[:q_n]
+    return vals, idx, lab
