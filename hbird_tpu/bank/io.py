@@ -22,11 +22,14 @@ import numpy as np
 
 
 def memory_path_on_disk(path: str) -> Optional[str]:
-    """The actual file a bank at `path` lives in, or None.
+    """The actual file/dir a bank at `path` lives in, or None.
 
     save_memory appends '.npy' to extension-less paths, so existence
-    checks must probe both spellings.
+    checks must probe both spellings. Sharded banks are directories with
+    a manifest.
     """
+    if os.path.isdir(path) and os.path.isfile(os.path.join(path, SHARDED_MANIFEST)):
+        return path
     for p in (path, path + ".npy"):
         if os.path.isfile(p):
             return p
@@ -35,7 +38,10 @@ def memory_path_on_disk(path: str) -> Optional[str]:
 
 def save_memory(memory: np.ndarray, path: str) -> str:
     """Write the bank; returns the path actually written (save_memory
-    appends '.npy' when `path` has no recognized extension)."""
+    appends '.npy' when `path` has no recognized extension). Paths ending
+    in '.bankdir' use the sharded chunked directory format."""
+    if path.endswith(".bankdir"):
+        return save_memory_sharded(memory, path)
     memory = np.asarray(memory)
     d = os.path.dirname(path)
     if d:
@@ -53,6 +59,8 @@ def save_memory(memory: np.ndarray, path: str) -> str:
 
 
 def load_memory(path: str) -> np.ndarray:
+    if is_sharded_path(path):
+        return load_memory_sharded(path)
     if path.endswith(".npz"):
         with np.load(path) as z:
             return np.asarray(z["memory"], np.float32)
@@ -63,3 +71,143 @@ def load_memory(path: str) -> np.ndarray:
         return np.asarray(t.detach().cpu().numpy(), np.float32)
     p = memory_path_on_disk(path) or path
     return np.asarray(np.load(p), np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Sharded on-disk bank format (reference parity target: the torch.save
+# whole-tensor persistence at hbird/hbird_eval.py:371-400 cannot scale to
+# >host-RAM banks; SURVEY §7 step 4 calls for a chunked format).
+#
+# Layout:  <dir>/manifest.json   {"rows", "dim", "dtype", "chunks": [...]}
+#          <dir>/chunk_00000.npy ...
+#
+# Save streams row blocks from any sliceable source (np array, np.memmap,
+# jax.Array — slicing a jax array transfers only the slice) or a generator
+# of blocks; load streams chunk-by-chunk, optionally placing rows directly
+# onto a mesh's bank axis so no whole-bank host array ever exists.
+# ---------------------------------------------------------------------------
+
+import json
+
+SHARDED_MANIFEST = "manifest.json"
+
+
+def is_sharded_path(path: str) -> bool:
+    return path.endswith(".bankdir") or os.path.isfile(
+        os.path.join(path, SHARDED_MANIFEST)
+    )
+
+
+def save_memory_sharded(memory, dir_path: str, *, chunk_rows: int = 262144) -> str:
+    """Write a bank as a directory of row chunks + manifest.
+
+    `memory` is either (rows, dim) sliceable (numpy / memmap / jax.Array)
+    or an iterator of (block_rows, dim) numpy blocks. Peak host memory is
+    one chunk regardless of bank size.
+    """
+    os.makedirs(dir_path, exist_ok=True)
+    chunks = []
+    rows = 0
+    dim = None
+    dtype = None
+
+    def blocks():
+        if hasattr(memory, "shape") and hasattr(memory, "__getitem__"):
+            n = memory.shape[0]
+            for s in range(0, n, chunk_rows):
+                yield np.asarray(memory[s : min(s + chunk_rows, n)])
+        else:
+            yield from (np.asarray(b) for b in memory)
+
+    for i, blk in enumerate(blocks()):
+        if dim is None:
+            dim, dtype = int(blk.shape[1]), blk.dtype.name
+        fname = f"chunk_{i:05d}.npy"
+        np.save(os.path.join(dir_path, fname), blk)
+        chunks.append({"file": fname, "rows": int(blk.shape[0])})
+        rows += int(blk.shape[0])
+
+    with open(os.path.join(dir_path, SHARDED_MANIFEST), "w") as f:
+        json.dump(
+            {"rows": rows, "dim": dim, "dtype": dtype, "chunks": chunks}, f
+        )
+    return dir_path
+
+
+def iter_memory_chunks(dir_path: str):
+    """Yield (start_row, block) pairs, chunk by chunk (mmap-backed)."""
+    with open(os.path.join(dir_path, SHARDED_MANIFEST)) as f:
+        manifest = json.load(f)
+    start = 0
+    for c in manifest["chunks"]:
+        blk = np.load(os.path.join(dir_path, c["file"]), mmap_mode="r")
+        yield start, blk
+        start += c["rows"]
+
+
+def sharded_memory_info(dir_path: str) -> dict:
+    with open(os.path.join(dir_path, SHARDED_MANIFEST)) as f:
+        return json.load(f)
+
+
+def _read_rows(dir_path: str, manifest: dict, start: int, stop: int) -> np.ndarray:
+    """Assemble rows [start, stop) touching only the overlapping chunks."""
+    out = np.empty((stop - start, manifest["dim"]), manifest["dtype"])
+    pos = 0
+    for c_start, blk in iter_memory_chunks(dir_path):
+        c_stop = c_start + blk.shape[0]
+        lo, hi = max(start, c_start), min(stop, c_stop)
+        if lo < hi:
+            out[lo - start : hi - start] = blk[lo - c_start : hi - c_start]
+            pos += hi - lo
+        if c_start >= stop:
+            break
+    assert pos == stop - start, (pos, stop - start)
+    return out
+
+
+def load_memory_sharded(
+    dir_path: str,
+    *,
+    mesh=None,
+    bank_axis: str = "bank",
+    dtype=None,
+):
+    """Load a sharded bank.
+
+    Without a mesh: returns one host array (requires the bank to fit in
+    host RAM). With a mesh: returns a jax.Array row-sharded over
+    `bank_axis`, assembled per-device so peak host memory is ONE shard —
+    the >RAM-bank path. Rows are zero-padded to an equal per-shard size;
+    also returns valid_rows in that case.
+    """
+    manifest = sharded_memory_info(dir_path)
+    rows, dim = manifest["rows"], manifest["dim"]
+    if mesh is None:
+        return _read_rows(dir_path, manifest, 0, rows)
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hbird_tpu.parallel.sharded_knn import pad_rows_for_mesh
+
+    n_shards = mesh.shape[bank_axis]
+    padded = pad_rows_for_mesh(rows, n_shards)
+    sharding = NamedSharding(mesh, P(bank_axis))
+    # Device order along the bank axis, as jax would lay out the array.
+    dev_map = sharding.addressable_devices_indices_map((padded, dim))
+    buffers = []
+    for dev, idx in dev_map.items():
+        s = idx[0].start or 0
+        e = idx[0].stop if idx[0].stop is not None else padded
+        blk = np.zeros((e - s, dim), manifest["dtype"])
+        lo, hi = min(s, rows), min(e, rows)
+        if hi > lo:
+            blk[: hi - lo] = _read_rows(dir_path, manifest, lo, hi)
+        if dtype is not None:
+            blk = blk.astype(dtype)
+        buffers.append(jax.device_put(blk, dev))
+    arr = jax.make_array_from_single_device_arrays(
+        (padded, dim), sharding, buffers
+    )
+    return arr, rows
