@@ -27,7 +27,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# Plain Python float: a jnp scalar here would initialize the XLA backend
+# at import time, breaking jax.distributed.initialize for anything that
+# imports this module first (see tests/test_distributed_smoke.py).
+NEG_INF = float("-inf")
 
 
 def _pad_rows(x: jax.Array, multiple: int) -> jax.Array:

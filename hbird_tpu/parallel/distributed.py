@@ -36,25 +36,42 @@ def initialize(
     """Initialize the JAX distributed runtime (idempotent).
 
     With no arguments, relies on TPU pod auto-detection (the common case on
-    Cloud TPU). Safe to call in single-process runs — it no-ops.
+    Cloud TPU) and soft-skips when auto-detection is impossible. With
+    explicit coordinator arguments, failures raise.
+
+    NOTE: must be called before anything that initializes the XLA backend
+    (jax.devices(), any computation...) — so this function itself must not
+    touch the backend before jax.distributed.initialize. (A previous
+    version probed jax.process_count() first, which initialized the
+    backend and silently broke every multi-process run; caught by
+    tests/test_distributed_smoke.py.)
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-        logger.info(
-            "distributed: process %d/%d, %d local / %d global devices",
-            jax.process_index(),
-            jax.process_count(),
-            jax.local_device_count(),
-            jax.device_count(),
-        )
-    except (RuntimeError, ValueError) as e:
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        if explicit:
+            raise
         logger.info("distributed init skipped (%s)", e)
+        return
+    except ValueError as e:
+        if explicit:
+            raise
+        logger.info("distributed init skipped (%s)", e)
+        return
+    logger.info(
+        "distributed: process %d/%d, %d local / %d global devices",
+        jax.process_index(),
+        jax.process_count(),
+        jax.local_device_count(),
+        jax.device_count(),
+    )
 
 
 def is_global_zero() -> bool:
