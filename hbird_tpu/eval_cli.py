@@ -91,6 +91,8 @@ class RunConfig:
 
     out: Optional[str] = None
     log_level: str = "INFO"
+    knn_details_out: Optional[str] = None  # .npz dump of kNN details
+    profile_dir: Optional[str] = None  # jax.profiler traces (HBIRD_PROFILE_DIR)
 
 
 def set_seed(seed: Optional[int]) -> None:
@@ -199,6 +201,8 @@ def run(cfg: RunConfig) -> Dict[str, Any]:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     set_seed(cfg.seed)
+    if cfg.profile_dir:
+        os.environ["HBIRD_PROFILE_DIR"] = cfg.profile_dir
     model = build_model(cfg)
 
     mesh = None
@@ -219,6 +223,7 @@ def run(cfg: RunConfig) -> Dict[str, Any]:
         input_size=cfg.input_size,
         augmentation_epoch=cfg.augmentation_epoch,
         device=cfg.device,
+        return_knn_details=bool(cfg.knn_details_out),
         n_neighbours=cfg.nn.n_neighbours,
         nn_method=cfg.nn.nn_method,
         nn_params=cfg.nn.nn_params,
@@ -238,6 +243,15 @@ def run(cfg: RunConfig) -> Dict[str, Any]:
     if isinstance(result, tuple) and len(result) == 2:
         miou, details = result
         summary = {"miou": float(miou), **{k: "<arrays>" for k in details}}
+        if cfg.knn_details_out:
+            import numpy as _np
+
+            out_dir = os.path.dirname(cfg.knn_details_out)
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
+            _np.savez(cfg.knn_details_out, **details)
+            summary["knn_details_path"] = cfg.knn_details_out
+            logger.info("Saved kNN details to %s", cfg.knn_details_out)
     else:
         summary = {"miou": float(result)}
 
@@ -336,6 +350,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(scales decode with cores).")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--knn-details", dest="knn_details_out", type=str,
+                   default=None, metavar="PATH.npz",
+                   help="dump per-query kNN details (neighbor features/"
+                        "labels/cross-attention labels) to an .npz")
+    p.add_argument("--profile", dest="profile_dir", type=str, default=None,
+                   metavar="DIR",
+                   help="write jax.profiler traces per phase to DIR "
+                        "(equivalent to HBIRD_PROFILE_DIR)")
     p.add_argument("--log-level", choices=["DEBUG", "INFO", "WARNING", "ERROR"],
                    default="INFO")
     return p
@@ -400,6 +422,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         compilation_cache=args.compilation_cache or None,
         out=args.out,
         log_level=args.log_level,
+        knn_details_out=args.knn_details_out,
+        profile_dir=args.profile_dir,
     )
     configure_logging(cfg.log_level)
     try:

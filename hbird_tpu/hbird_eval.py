@@ -593,6 +593,8 @@ class HbirdEvaluation:
         n_imgs = 0
         eval_phase = self.timer.phase("evaluate")
         eval_phase.__enter__()
+        eval_trace = maybe_trace("evaluate")
+        eval_trace.__enter__()
 
         def consume(item):
             nonlocal n_imgs
@@ -659,6 +661,7 @@ class HbirdEvaluation:
         if in_flight is not None:
             consume(in_flight)
 
+        eval_trace.__exit__(None, None, None)
         eval_phase.__exit__(None, None, None)
         self.timer.add_items("evaluate", n_imgs)
         dt = time.time() - t0

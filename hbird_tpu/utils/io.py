@@ -25,6 +25,26 @@ def is_tar_path(path: str) -> bool:
     return ".tar" in path
 
 
+def _tar_member_files(tar_path: str) -> List[str]:
+    """Regular-file member names of a tar, via the native C single-pass
+    indexer when available (uncompressed archives; ~10x the Python
+    tarfile header walk at COCO scale), falling back to tarfile."""
+    if tar_path.endswith(".tar"):
+        try:
+            from hbird_tpu.utils import native
+
+            if native.available():
+                return [
+                    name
+                    for name, _off, _size, typeflag in native.tar_index(tar_path)
+                    if typeflag in ("0", "\x00")
+                ]
+        except Exception:  # fall back to tarfile on any native failure
+            pass
+    with tarfile.open(tar_path, "r:*") as tar:
+        return [m.name for m in tar.getmembers() if m.isfile()]
+
+
 def list_files(path: str) -> List[str]:
     """List filenames under a folder, which may live inside a .tar archive.
 
@@ -34,13 +54,13 @@ def list_files(path: str) -> List[str]:
         tar_path, inner_path = split_tar_path(path)
         if not Path(tar_path).is_file():
             raise FileNotFoundError(f"Tar archive not found: {tar_path}")
+        names = _tar_member_files(tar_path)
         files = []
-        with tarfile.open(tar_path, "r:*") as tar:
-            for member in tar.getmembers():
-                if member.isfile() and member.name.startswith(inner_path):
-                    rel = os.path.relpath(member.name, inner_path)
-                    if not rel.startswith(".."):
-                        files.append(rel)
+        for name in names:
+            if name.startswith(inner_path):
+                rel = os.path.relpath(name, inner_path)
+                if not rel.startswith(".."):
+                    files.append(rel)
         return files
 
     if not os.path.isdir(path):
