@@ -40,6 +40,101 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket_merge_rounds(
+    s_ref, vals_ref, idx_ref, cvals_ref, ccols_ref, ins_ref,
+    *, base, nb, bucket_len, k_pad,
+):
+    """Tournament ("group-max") extraction: up to nb candidates per round.
+
+    The single-extraction merge pays ~3 full-width (Q, BLOCK_M) VPU passes
+    PER top-k insertion; early bank tiles insert up to k_pad times. Here
+    each ROUND costs ~3 full-width passes + nb narrow (Q, nb) passes and
+    inserts up to nb candidates (one per bucket):
+
+      1. reduce the tile to per-bucket maxima + their columns (full pass),
+      2. insert bucket maxima into the running top-k in descending order
+         (narrow passes only),
+      3. knock all inserted elements out of the tile in ONE masked write,
+      4. repeat while any bucket still beats the running k-th best
+         (only when 2+ top-k members share a bucket).
+    """
+    q = s_ref.shape[0]
+    big = jnp.int32(2**30)
+    # Mosaic cannot shape-cast (Q, M) -> (Q, nb, L); buckets are STATIC
+    # column slices instead (the loops unroll at trace time).
+    l2 = jax.lax.broadcasted_iota(jnp.int32, (q, bucket_len), 1)
+    cand_ids = jax.lax.broadcasted_iota(jnp.int32, (q, nb), 1)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+
+    def round_body(_r):
+        # 1. per-bucket maxima + their global columns (one tile pass).
+        for b in range(nb):
+            sl = s_ref[:, pl.ds(b * bucket_len, bucket_len)]
+            bm = jnp.max(sl, axis=1, keepdims=True)  # (Q, 1)
+            bc = jnp.min(
+                jnp.where(sl >= bm, l2, big), axis=1, keepdims=True
+            )  # local column, lowest on ties
+            cvals_ref[:, b : b + 1] = bm
+            ccols_ref[:, b : b + 1] = base + b * bucket_len + bc
+        ins_ref[...] = jnp.zeros_like(ins_ref)
+
+        def ins_cond(i):
+            return jnp.logical_and(
+                i < nb,
+                jnp.any(
+                    jnp.max(cvals_ref[...], axis=1)
+                    > jnp.min(vals_ref[...], axis=1)
+                ),
+            )
+
+        def ins_body(i):
+            cv = cvals_ref[...]
+            run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)
+            cmax = jnp.max(cv, axis=1, keepdims=True)
+            better = cmax > run_min
+            csel = jnp.min(
+                jnp.where(cv >= cmax, cand_ids, big), axis=1, keepdims=True
+            )
+            sel_col = jnp.min(
+                jnp.where(cand_ids == csel, ccols_ref[...], big),
+                axis=1, keepdims=True,
+            )
+            min_slot = jnp.min(
+                jnp.where(vals_ref[...] <= run_min, slot_ids, big),
+                axis=1, keepdims=True,
+            )
+            do = better & (slot_ids == min_slot)
+            vals_ref[...] = jnp.where(do, cmax, vals_ref[...])
+            idx_ref[...] = jnp.where(do, sel_col, idx_ref[...])
+            picked = better & (cand_ids == csel)
+            ins_ref[...] = jnp.where(picked, jnp.int32(1), ins_ref[...])
+            cvals_ref[...] = jnp.where(picked, NEG_INF, cv)
+            return i + 1
+
+        jax.lax.while_loop(ins_cond, ins_body, jnp.int32(0))
+
+        # 3. knock every inserted element out of the tile (one tile pass,
+        # static bucket slices).
+        for b in range(nb):
+            sl = s_ref[:, pl.ds(b * bucket_len, bucket_len)]
+            local = ccols_ref[:, b : b + 1] - (base + b * bucket_len)
+            knock = (ins_ref[:, b : b + 1] == 1) & (l2 == local)
+            s_ref[:, pl.ds(b * bucket_len, bucket_len)] = jnp.where(
+                knock, NEG_INF, sl
+            )
+        return _r + 1
+
+    def round_cond(r):
+        return jnp.logical_and(
+            r < k_pad,
+            jnp.any(
+                jnp.max(s_ref[...], axis=1) > jnp.min(vals_ref[...], axis=1)
+            ),
+        )
+
+    jax.lax.while_loop(round_cond, round_body, jnp.int32(0))
+
+
 def _knn_kernel(
     valid_ref,  # SMEM (1,) int32 — number of real bank rows
     q_ref,  # (BLOCK_Q, D)
@@ -49,11 +144,16 @@ def _knn_kernel(
     vals_ref,  # scratch (BLOCK_Q, K_PAD) f32
     idx_ref,  # scratch (BLOCK_Q, K_PAD) i32
     s_ref,  # scratch (BLOCK_Q, BLOCK_M) f32 — mutable scores tile
+    cvals_ref,  # scratch (BLOCK_Q, NB) f32 — bucket-merge candidates
+    ccols_ref,  # scratch (BLOCK_Q, NB) i32
+    ins_ref,  # scratch (BLOCK_Q, NB) i32
     *,
     k_pad: int,
     block_m: int,
     n_bank_tiles: int,
     merge_chunk: int,
+    merge_mode: str,
+    n_buckets: int,
 ):
     j = pl.program_id(1)
 
@@ -134,15 +234,23 @@ def _knn_kernel(
 
         jax.lax.while_loop(cond, body, jnp.int32(0))
 
-    # Chunk-level predication: only chunks holding something better than
-    # the current k-th best pay merge passes (rare after a few tiles).
-    run_min_all = jnp.min(vals_ref[...], axis=1)
-    for c0 in range(0, block_m, merge_chunk):
-        chunk_max = jnp.max(s_ref[:, pl.ds(c0, merge_chunk)], axis=1)
+    if merge_mode == "bucket":
+        _bucket_merge_rounds(
+            s_ref, vals_ref, idx_ref, cvals_ref, ccols_ref, ins_ref,
+            base=base, nb=n_buckets, bucket_len=block_m // n_buckets,
+            k_pad=k_pad,
+        )
+    else:
+        # Chunk-level predication: only chunks holding something better
+        # than the current k-th best pay merge passes (rare after a few
+        # tiles).
+        run_min_all = jnp.min(vals_ref[...], axis=1)
+        for c0 in range(0, block_m, merge_chunk):
+            chunk_max = jnp.max(s_ref[:, pl.ds(c0, merge_chunk)], axis=1)
 
-        @pl.when(jnp.any(chunk_max > run_min_all))
-        def _(c0=c0):
-            merge_chunk_loop(c0)
+            @pl.when(jnp.any(chunk_max > run_min_all))
+            def _(c0=c0):
+                merge_chunk_loop(c0)
 
     @pl.when(j == n_bank_tiles - 1)
     def _store():
@@ -153,7 +261,8 @@ def _knn_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "block_q", "block_m", "merge_chunk", "sorted_results", "interpret"
+        "k", "block_q", "block_m", "merge_chunk", "sorted_results",
+        "interpret", "merge_mode", "n_buckets",
     ),
 )
 def pallas_knn(
@@ -167,6 +276,8 @@ def pallas_knn(
     merge_chunk: Optional[int] = None,
     sorted_results: bool = True,
     interpret: Optional[bool] = None,
+    merge_mode: str = "single",
+    n_buckets: int = 32,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k dot-product search, fused in one Pallas kernel.
 
@@ -224,6 +335,9 @@ def pallas_knn(
             pltpu.VMEM((block_q, k_pad), jnp.float32),
             pltpu.VMEM((block_q, k_pad), jnp.int32),
             pltpu.VMEM((block_q, block_m), jnp.float32),
+            pltpu.VMEM((block_q, n_buckets), jnp.float32),
+            pltpu.VMEM((block_q, n_buckets), jnp.int32),
+            pltpu.VMEM((block_q, n_buckets), jnp.int32),
         ],
     )
     # Measured on v5e (1M bank): sub-tile merge chunks are SLOWER than one
@@ -232,12 +346,18 @@ def pallas_knn(
     # default is a single chunk; the knob remains for other shapes.
     merge_chunk = min(merge_chunk or block_m, block_m)
     assert block_m % merge_chunk == 0, (block_m, merge_chunk)
+    assert merge_mode in ("single", "bucket"), merge_mode
+    if merge_mode == "bucket":
+        n_buckets = min(n_buckets, block_m)
+        assert block_m % n_buckets == 0, (block_m, n_buckets)
     kernel = functools.partial(
         _knn_kernel,
         k_pad=k_pad,
         block_m=block_m,
         n_bank_tiles=n_bank_tiles,
         merge_chunk=merge_chunk,
+        merge_mode=merge_mode,
+        n_buckets=n_buckets,
     )
     itemsize = jnp.dtype(queries.dtype).itemsize
     vmem_bytes = (

@@ -185,3 +185,55 @@ class TestInt8Bank:
             [len(set(idx_a[i]) & set(np.asarray(ref)[i])) / k for i in range(32)]
         )
         assert recall >= 0.85, recall
+
+
+class TestBucketMerge:
+    """Tournament (group-max) merge variant vs the oracle (interpret mode)."""
+
+    def test_matches_exact_random(self):
+        from hbird_tpu.ops.knn import exact_knn
+        from hbird_tpu.ops.knn_pallas import pallas_knn
+
+        rng = np.random.default_rng(10)
+        bank = rng.normal(size=(4096, 32)).astype(np.float32)
+        q = rng.normal(size=(64, 32)).astype(np.float32)
+        vals, idx = pallas_knn(
+            jnp.asarray(q), jnp.asarray(bank), 30, block_q=64,
+            block_m=1024, merge_mode="bucket", n_buckets=32,
+        )
+        rv, ri = exact_knn(jnp.asarray(q), jnp.asarray(bank), 30)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(rv), rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(idx), -1), np.sort(np.asarray(ri), -1)
+        )
+
+    def test_all_winners_in_one_bucket(self):
+        """Adversarial: every top-k member shares a bucket -> k rounds."""
+        from hbird_tpu.ops.knn import exact_knn
+        from hbird_tpu.ops.knn_pallas import pallas_knn
+
+        bank = np.zeros((2048, 8), np.float32)
+        bank[:64, 0] = np.linspace(1, 2, 64)
+        q = np.ones((8, 8), np.float32)
+        vals, idx = pallas_knn(
+            jnp.asarray(q), jnp.asarray(bank), 30, block_q=8,
+            block_m=2048, merge_mode="bucket", n_buckets=16,
+        )
+        rv, _ = exact_knn(jnp.asarray(q), jnp.asarray(bank), 30)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(rv))
+
+    def test_valid_rows_masking(self):
+        from hbird_tpu.ops.knn import exact_knn
+        from hbird_tpu.ops.knn_pallas import pallas_knn
+
+        rng = np.random.default_rng(11)
+        bank = rng.normal(size=(1024, 16)).astype(np.float32)
+        q = rng.normal(size=(16, 16)).astype(np.float32)
+        vals, idx = pallas_knn(
+            jnp.asarray(q), jnp.asarray(bank), 10, block_q=16,
+            block_m=512, merge_mode="bucket", n_buckets=8, valid_rows=700,
+        )
+        _, ri = exact_knn(jnp.asarray(q), jnp.asarray(bank[:700]), 10)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(idx), -1), np.sort(np.asarray(ri), -1)
+        )
