@@ -489,7 +489,13 @@ class HbirdEvaluation:
             if _NN_ALIASES.get(nn_method, nn_method) == "approx"
             else NearestNeighborSearchExact
         )
-        kwargs.setdefault("use_fp16", self.bf16_bank)
+        # exact: bf16 bank tracks the engine flag (faiss useFloat16
+        # semantics); approx: bf16 by default (ScaNN's default scoring is
+        # quantized; measured recall@30 0.9998 — scripts/bench_backends.py).
+        kwargs.setdefault(
+            "use_fp16",
+            self.bf16_bank or cls is NearestNeighborSearchApprox,
+        )
         self.NN_algorithm = cls(
             self.feature_memory,
             n_neighbors=n_neighbours,
@@ -511,9 +517,12 @@ class HbirdEvaluation:
         vals, idx, labels = self.NN_algorithm.search_with_labels(
             q.reshape(-1, d), self.n_neighbours
         )
-        key_features = jnp.take(self.NN_algorithm.bank, idx, axis=0).astype(
-            jnp.float32
-        )
+        # Gather from the full-precision feature memory (reference
+        # hbird_eval.py:632-637 indexes self.feature_memory), not the
+        # backend's possibly bf16/int8-quantized scan bank.
+        key_features = jnp.take(
+            jnp.asarray(self.feature_memory), idx, axis=0
+        ).astype(jnp.float32)
         k = self.n_neighbours
         return (
             np.asarray(key_features).reshape(b, n, k, -1),

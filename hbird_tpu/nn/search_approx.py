@@ -10,10 +10,15 @@ drop-in config compatibility and maps them onto a recall target:
 - num_leaves / num_leaves_to_search: recall ~ grows with the searched
   fraction; recall_target = clip(0.9 + 0.4 * leaves_to_search/num_leaves)
   unless `recall_target` is given explicitly.
-- num_reordering_candidates: candidates fetched before the exact top-k
-  merge (aggregate_to_topk handles this internally; accepted, unused).
+- num_reordering_candidates: ScaNN reorder(C) — exact re-scoring of C
+  approximate candidates. DEFAULT 0 here: measured on v5e (1.024M bank,
+  k=30, scripts/bench_backends.py) the bare PartialReduce pass already
+  reaches recall@30 = 0.9998 vs the f32 oracle, while reorder(120) is
+  4.3x slower AND lower-recall (0.9948 — the wider approximate first pass
+  is coarser). Pass a value to restore ScaNN's literal default behavior.
 - anisotropic_quantization_threshold / dimensions_per_block: quantization
-  knobs with no TPU analogue (bf16 bank storage replaces AH); accepted,
+  knobs with no TPU analogue (bf16 bank storage replaces AH — and is the
+  default here, mirroring ScaNN's default quantized scoring); accepted,
   unused.
 """
 
@@ -38,10 +43,10 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         num_leaves: int = 512,
         num_leaves_to_search: int = 32,
         anisotropic_quantization_threshold: float = 0.2,
-        num_reordering_candidates: int = 120,
+        num_reordering_candidates: int = 0,
         dimensions_per_block: int = 4,
         recall_target: Optional[float] = None,
-        use_fp16: bool = False,
+        use_fp16: bool = True,
         mesh=None,
         label_memory=None,
         query_block: int = 1024,

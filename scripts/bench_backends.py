@@ -99,11 +99,11 @@ def characterize(tag, nn):
 configs = [
     ("exact bf16 (pallas)",
      lambda: NearestNeighborSearchExact(bank, n_neighbors=K, use_fp16=True)),
-    ("scann default (approx+reorder120)",
+    ("scann DEFAULT (approx bf16, no reorder)",
      lambda: NearestNeighborSearchApprox(bank, n_neighbors=K)),
-    ("approx bare (no reorder)",
+    ("approx f32 + reorder120 (ScaNN-literal)",
      lambda: NearestNeighborSearchApprox(
-         bank, n_neighbors=K, num_reordering_candidates=0)),
+         bank, n_neighbors=K, use_fp16=False, num_reordering_candidates=120)),
     ("int8 (no rerank)",
      lambda: NearestNeighborSearchExact(bank, n_neighbors=K, use_int8=True)),
     ("int8 + rerank120",

@@ -1,0 +1,143 @@
+"""North-star-scale demonstration on ONE chip.
+
+BASELINE.md north star: exact-kNN Hummingbird eval of DINOv2 ViT-B/14 on
+full Pascal VOC (>=10M-patch bank, k=30) in <10 min on v5e-8. This runs
+the EVAL phase at exactly that scale on a single chip:
+
+- bank: 10,240,000 x 768 (int8 storage by default, bf16 re-rank exact),
+- val set: 1,449 images @518 (VOC val size) of synthetic uint8 batches,
+- full fused step: ViT-B/14 bf16 forward -> pallas kNN -> cross-attention
+  -> bilinear upsample -> argmax -> confusion matrix,
+
+and reports end-to-end eval wall-clock + queries/sec/chip. (The memory
+BUILD phase at this scale is backbone-bound: 10,581 train images x 2
+augmentation epochs / ~135 img/s bf16 ~ 2.6 min/chip on top.)
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bank-rows", type=int, default=10_240_000)
+    ap.add_argument("--n-val", type=int, default=1449)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--input-size", type=int, default=518)
+    ap.add_argument("--num-classes", type=int, default=21)
+    ap.add_argument("--k", type=int, default=30)
+    ap.add_argument("--no-int8", action="store_true")
+    args = ap.parse_args()
+
+    from hbird_tpu import HbirdEvaluation
+    from hbird_tpu.models import FeatureExtractor
+    from hbird_tpu.models.vit import VIT_PRESETS, ViT
+
+    print("device:", jax.devices(), flush=True)
+    cfg = VIT_PRESETS["dinov2_vitb14"]
+    vit = ViT(cfg)
+    params = vit.prepare_params(vit.init(jax.random.PRNGKey(0)), args.input_size)
+    s = args.input_size // cfg.patch_size
+    fe = FeatureExtractor(
+        vit, params, eval_spatial_resolution=s, d_model=cfg.width, use_bf16=True
+    )
+
+    # Synthetic bank injected through the engine's load hook: build the
+    # engine on a tiny train stream, then replace the bank.
+    rng = np.random.default_rng(0)
+    tiny_imgs = rng.integers(0, 255, (2, 3, args.input_size, args.input_size),
+                             dtype=np.uint8)
+    tiny_masks = rng.integers(0, args.num_classes,
+                              (2, 1, args.input_size, args.input_size)).astype(np.uint8)
+    t0 = time.time()
+    ev = HbirdEvaluation(
+        fe, [(tiny_imgs, tiny_masks)], num_classes=args.num_classes,
+        n_neighbours=args.k, nn_method="exact",
+        nn_params={} if args.no_int8 else {"use_int8": True},
+        bf16_bank=True,
+    )
+    print(f"engine up ({time.time()-t0:.1f}s); building {args.bank_rows:,}-row bank",
+          flush=True)
+
+    t0 = time.time()
+    d = cfg.width
+    # A 10.24M x 768 bank only fits ONE chip quantized (int8 = 7.9 GB; f32
+    # would be 31 GB), so build it int8 directly, slab by slab, with a
+    # fixed global scale (unit-norm rows: |component| <~ 0.2) — exactly
+    # the backend's global-scale symmetric scheme.
+    use_int8 = not args.no_int8
+    scale = 0.2 / 127.0
+    key = jax.random.PRNGKey(1)
+    slab_rows = 1_280_000
+
+    @jax.jit
+    def make_slab(sub, n_static=slab_rows):
+        x = jax.random.normal(sub, (n_static, d), jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        if use_int8:
+            return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        return x.astype(jnp.bfloat16)
+
+    slabs = []
+    for i in range(0, args.bank_rows, slab_rows):
+        key, sub = jax.random.split(key)
+        slabs.append(make_slab(sub)[: min(slab_rows, args.bank_rows - i)])
+    bank = jnp.concatenate(slabs)
+    del slabs
+    labels = jax.random.dirichlet(
+        jax.random.PRNGKey(2), jnp.ones((args.num_classes,)),
+        (args.bank_rows,)
+    ).astype(jnp.float32)
+
+    # Install the pre-quantized bank directly into the backend (its own
+    # int8 path quantizes FROM f32, which cannot exist at this scale).
+    nn = ev.NN_algorithm
+    nn.bank = bank
+    nn.labels = labels
+    nn.valid_rows = args.bank_rows
+    nn.rerank_bank = None
+    if use_int8:
+        nn._bank_scale = jnp.float32(scale)
+    ev.feature_memory = bank
+    ev.label_memory = labels
+    jax.block_until_ready(nn.bank)
+    print(f"bank + index ready ({time.time()-t0:.1f}s, "
+          f"{bank.nbytes/1e9:.1f} GB on chip)", flush=True)
+
+    def val_loader():
+        r = np.random.default_rng(3)
+        for i in range(0, args.n_val, args.batch_size):
+            b = min(args.batch_size, args.n_val - i)
+            yield (
+                r.integers(0, 255, (b, 3, args.input_size, args.input_size),
+                           dtype=np.uint8),
+                r.integers(0, args.num_classes,
+                           (b, 1, args.input_size, args.input_size)).astype(np.uint8),
+            )
+
+    t0 = time.time()
+    miou = ev.evaluate(val_loader(), s, ignore_index=255)
+    dt = time.time() - t0
+    q_total = args.n_val * s * s
+    print(
+        f"NORTH STAR (1 chip): {args.n_val} val imgs x {args.bank_rows:,}-row "
+        f"bank, k={args.k}: evaluate {dt:.1f}s "
+        f"({q_total/dt:,.0f} q/s/chip incl. forward+metric; "
+        f"mIoU={float(miou):.4f} [synthetic labels ~ 1/C])",
+        flush=True,
+    )
+    print("phase stats:", ev.timer.summary(), flush=True)
+
+
+if __name__ == "__main__":
+    main()
