@@ -10,6 +10,11 @@ synthetic colorized VOC fixture, so it runs anywhere without checkpoints.
 
 import tempfile
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 from hbird_tpu import hbird_evaluation

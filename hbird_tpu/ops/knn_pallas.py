@@ -344,6 +344,11 @@ def pallas_knn(
     # full-width merge (52k q/s at block_m vs 29k at block_m/8 — the extra
     # predicated regions cost more than the narrower passes save), so the
     # default is a single chunk; the knob remains for other shapes.
+    # The bucket/tournament merge (merge_mode='bucket') was also measured
+    # SLOWER at every config tried (scripts/bench_merge_modes.py: 13.7k
+    # q/s at nb=32 vs 51.9k single; nb=64/128 and bm=16384 worse still) —
+    # the static per-bucket slice loops defeat Mosaic's full-width
+    # vectorization even though rounds are rare. Kept for exotic shapes.
     merge_chunk = min(merge_chunk or block_m, block_m)
     assert block_m % merge_chunk == 0, (block_m, merge_chunk)
     assert merge_mode in ("single", "bucket"), merge_mode
