@@ -35,11 +35,10 @@ q_d = jax.device_put(jnp.asarray(queries, jnp.bfloat16))
 ref_idx = None
 for mode, bq, bm, nb in [
     ("single", 512, 8192, 32),
-    ("bucket", 512, 8192, 32),
-    ("bucket", 512, 8192, 64),
-    ("bucket", 512, 8192, 128),
-    ("bucket", 1024, 8192, 64),
-    ("bucket", 512, 16384, 64),
+    ("carry", 512, 8192, 32),
+    ("carry", 1024, 8192, 32),
+    ("carry", 512, 16384, 32),
+    ("carry", 256, 8192, 32),
 ]:
     tag = f"{mode} bq={bq} bm={bm}" + (f" nb={nb}" if mode == "bucket" else "")
     try:

@@ -78,7 +78,11 @@ def main():
     use_int8 = not args.no_int8
     scale = 0.2 / 127.0
     key = jax.random.PRNGKey(1)
-    slab_rows = 1_280_000
+    # Small slabs: the f32 generation temps (normal + unit-norm division)
+    # cost ~2 x slab x d x 4B on top of the growing int8 bank.
+    slab_rows = 512_000
+
+    import functools
 
     @jax.jit
     def make_slab(sub, n_static=slab_rows):
@@ -88,16 +92,26 @@ def main():
             return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
         return x.astype(jnp.bfloat16)
 
-    slabs = []
+    # Donated in-place writes: concatenating slabs would double peak HBM
+    # (slabs + output) and OOM the 16 GB chip at 10.24M rows.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def write(buf, slab, start):
+        return jax.lax.dynamic_update_slice(buf, slab, (start, 0))
+
+    bank = jnp.zeros(
+        (args.bank_rows, d), jnp.int8 if use_int8 else jnp.bfloat16
+    )
     for i in range(0, args.bank_rows, slab_rows):
         key, sub = jax.random.split(key)
-        slabs.append(make_slab(sub)[: min(slab_rows, args.bank_rows - i)])
-    bank = jnp.concatenate(slabs)
-    del slabs
-    labels = jax.random.dirichlet(
-        jax.random.PRNGKey(2), jnp.ones((args.num_classes,)),
-        (args.bank_rows,)
-    ).astype(jnp.float32)
+        n = min(slab_rows, args.bank_rows - i)
+        bank = write(bank, make_slab(sub)[:n], jnp.int32(i))
+    # Cheap normalized soft labels (dirichlet's gamma sampler allocates
+    # several full-size f32 temps; uniform+normalize needs only one).
+    lab_u = jax.random.uniform(
+        jax.random.PRNGKey(2), (args.bank_rows, args.num_classes), jnp.float32
+    )
+    labels = lab_u / jnp.sum(lab_u, axis=1, keepdims=True)
+    del lab_u
 
     # Install the pre-quantized bank directly into the backend (its own
     # int8 path quantizes FROM f32, which cannot exist at this scale).
