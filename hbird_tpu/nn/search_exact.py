@@ -70,7 +70,10 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         self.kernel = kernel
         # Measured on v5e (bank 1.024M x 768, k=30): pallas 512/8192 is the
         # fastest variant; the XLA path prefers bigger query tiles.
-        self.query_block = int(query_block or (512 if kernel == "pallas" else 1024))
+        # Measured on v5e (1M bank, k=30, round 2): the carry merge at
+        # block_q=256/block_m=8192 is the fastest pallas config
+        # (59.6k q/s bf16 vs 52.0k for round 1's single/512).
+        self.query_block = int(query_block or (256 if kernel == "pallas" else 1024))
         self.bank_block = int(bank_block or 8192)
         super().__init__(feature_memory, n_neighbors, distance_measure)
 

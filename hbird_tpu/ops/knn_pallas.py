@@ -240,6 +240,50 @@ def _knn_kernel(
             base=base, nb=n_buckets, bucket_len=block_m // n_buckets,
             k_pad=k_pad,
         )
+    elif merge_mode == "carry":
+        # Single-extraction merge with the tile max CARRIED between
+        # iterations: the classic loop re-reads + re-maxes the full tile
+        # in the cond AND the body (Mosaic does not CSE across the
+        # while boundary); here each extraction costs one tile read and
+        # one knockout write, with the next max computed from the already
+        # loaded (knocked-out) value.
+        col_l = jax.lax.broadcasted_iota(
+            jnp.int32, (q_ref.shape[0], block_m), 1
+        )
+        big = jnp.int32(2**30)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+        m0 = jnp.max(s_ref[...], axis=1, keepdims=True)  # (Q, 1)
+
+        def cond(carry):
+            i, cur_max = carry
+            run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)
+            return jnp.logical_and(i < k_pad, jnp.any(cur_max > run_min))
+
+        def body(carry):
+            i, cur_max = carry
+            s_cur = s_ref[...]  # one tile read per extraction
+            run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)
+            better = cur_max > run_min
+            cand_col = jnp.min(
+                jnp.where(s_cur >= cur_max, col_l, big), axis=1, keepdims=True
+            )
+            min_slot = jnp.min(
+                jnp.where(vals_ref[...] <= run_min, slot_ids, big),
+                axis=1, keepdims=True,
+            )
+            do = better & (slot_ids == min_slot)
+            vals_ref[...] = jnp.where(do, cur_max, vals_ref[...])
+            idx_ref[...] = jnp.where(do, cand_col + base, idx_ref[...])
+            knocked = jnp.where(
+                (col_l == cand_col) & better, NEG_INF, s_cur
+            )
+            s_ref[...] = knocked  # one tile write
+            new_max = jnp.max(knocked, axis=1, keepdims=True)  # from value
+            return i + 1, new_max
+
+        @pl.when(jnp.any(m0 > jnp.min(vals_ref[...], axis=1, keepdims=True)))
+        def _merge_carry():
+            jax.lax.while_loop(cond, body, (jnp.int32(0), m0))
     else:
         # Chunk-level predication: only chunks holding something better
         # than the current k-th best pay merge passes (rare after a few
@@ -271,12 +315,12 @@ def pallas_knn(
     k: int,
     *,
     valid_rows: Optional[jax.Array | int] = None,
-    block_q: int = 512,
-    block_m: int = 1024,
+    block_q: int = 256,
+    block_m: int = 8192,
     merge_chunk: Optional[int] = None,
     sorted_results: bool = True,
     interpret: Optional[bool] = None,
-    merge_mode: str = "single",
+    merge_mode: str = "carry",
     n_buckets: int = 32,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k dot-product search, fused in one Pallas kernel.
@@ -351,7 +395,7 @@ def pallas_knn(
     # vectorization even though rounds are rare. Kept for exotic shapes.
     merge_chunk = min(merge_chunk or block_m, block_m)
     assert block_m % merge_chunk == 0, (block_m, merge_chunk)
-    assert merge_mode in ("single", "bucket"), merge_mode
+    assert merge_mode in ("single", "bucket", "carry"), merge_mode
     if merge_mode == "bucket":
         n_buckets = min(n_buckets, block_m)
         assert block_m % n_buckets == 0, (block_m, n_buckets)

@@ -33,13 +33,14 @@ bank_d = jax.device_put(jnp.asarray(bank, jnp.bfloat16))
 q_d = jax.device_put(jnp.asarray(queries, jnp.bfloat16))
 
 ref_idx = None
-for mode, bq, bm, nb in [
+import itertools
+CONFIGS = [
     ("single", 512, 8192, 32),
     ("carry", 512, 8192, 32),
-    ("carry", 1024, 8192, 32),
-    ("carry", 512, 16384, 32),
     ("carry", 256, 8192, 32),
-]:
+    ("carry", 256, 4096, 32),
+]
+for mode, bq, bm, nb in itertools.chain(*([CONFIGS] * 2)):
     tag = f"{mode} bq={bq} bm={bm}" + (f" nb={nb}" if mode == "bucket" else "")
     try:
         t0 = time.time()
@@ -50,7 +51,7 @@ for mode, bq, bm, nb in [
         float(np.asarray(vals).sum())
         t_first = time.time() - t0
         t0 = time.time()
-        iters = 3
+        iters = 5
         for _ in range(iters):
             vals, idx = pallas_knn(
                 q_d, bank_d, K, block_q=bq, block_m=bm,

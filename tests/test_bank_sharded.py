@@ -1,5 +1,7 @@
 """Sharded on-disk bank format: streaming round-trip + mesh placement."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -103,3 +105,46 @@ class TestMeshPlacement:
         np.testing.assert_array_equal(
             np.sort(np.asarray(idx), -1), np.sort(np.asarray(ref_idx), -1)
         )
+
+
+class TestEngineBankdirIntegration:
+    def test_engine_save_and_reload_bankdir(self, tmp_path):
+        import jax.numpy as jnp
+
+        from hbird_tpu import HbirdEvaluation
+        from hbird_tpu.models import FeatureExtractorSimple
+
+        B, INPUT, PATCH, C, D = 2, 16, 4, 4, 8
+        S = INPUT // PATCH
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(3 * PATCH * PATCH, D)).astype(np.float32))
+
+        def fn(model, imgs):
+            b = imgs.shape[0]
+            xx = imgs.reshape(b, 3, S, PATCH, S, PATCH)
+            xx = xx.transpose(0, 2, 4, 1, 3, 5).reshape(b, S * S, -1)
+            return xx @ model, None
+
+        fe = FeatureExtractorSimple(w, fn, eval_spatial_resolution=S, d_model=D)
+        imgs = rng.integers(0, 255, (2 * B, 3, INPUT, INPUT), dtype=np.uint8)
+        ids = rng.integers(0, C, (2 * B, 1, INPUT, INPUT)).astype(np.uint8)
+        loader = [(imgs[:B], ids[:B]), (imgs[B:], ids[B:])]
+
+        f_p = str(tmp_path / "fmem.bankdir")
+        l_p = str(tmp_path / "lmem.bankdir")
+        ev = HbirdEvaluation(
+            fe, loader, num_classes=C, n_neighbours=3, nn_method="exact",
+            f_mem_p=f_p, l_mem_p=l_p,
+        )
+        saved = np.asarray(ev.feature_memory)
+        assert os.path.isfile(os.path.join(f_p, "manifest.json"))
+
+        # Wipe and reload through the engine's load hook.
+        ev.feature_memory = None
+        ev.label_memory = None
+        assert ev.load_memory() is True
+        np.testing.assert_allclose(
+            np.asarray(ev.feature_memory), saved, rtol=1e-6
+        )
+        miou = ev.evaluate(loader, S, ignore_index=255)
+        assert 0.0 <= float(miou) <= 1.0
