@@ -187,11 +187,6 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
             and self.mesh is not None
             and self.mesh.shape.get("bank", 1) > 1
         ):
-            if rerank:
-                raise NotImplementedError(
-                    "shard_strategy='ring' does not support int8+rerank yet; "
-                    "use the gather strategy"
-                )
             from hbird_tpu.parallel.sharded_knn import ring_knn_with_labels
 
             vals, idx, out_labels = ring_knn_with_labels(
@@ -205,8 +200,11 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
                 query_block=self.query_block,
                 bank_block=self.bank_block,
                 kernel=self.kernel,
+                rerank_bank=rerank_bank if rerank else None,
+                rerank_queries=q.astype(jnp.bfloat16) if rerank else None,
+                rerank_candidates=self.num_reordering_candidates if rerank else 0,
             )
-            if self.use_int8:
+            if self.use_int8 and not rerank:
                 vals = vals * (self._bank_scale * q_scale)
             return vals, idx, out_labels
         vals, idx, out_labels = sharded_knn_with_labels(

@@ -240,6 +240,9 @@ def ring_knn_with_labels(
     query_block: int = 1024,
     bank_block: int = 8192,
     query_partition: Optional[Tuple[str, ...]] = None,
+    rerank_bank: Optional[jax.Array] = None,
+    rerank_queries: Optional[jax.Array] = None,
+    rerank_candidates: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Query-sharded ring search: nothing is replicated across the mesh.
 
@@ -270,6 +273,12 @@ def ring_knn_with_labels(
         query_partition: mesh axes partitioning the query dim (default
             (bank_axis,); pass ('data', 'bank') on a 2D mesh so each data
             row runs its own ring).
+        rerank_bank / rerank_queries / rerank_candidates: ScaNN reorder(C)
+            per hop — the visiting block scans the resident (possibly
+            quantized) shard for C candidates, exact-rescales them against
+            the resident full-precision rerank shard, and merges the
+            top-k. The full-precision query block travels the ring along
+            with the scan block.
 
     Returns:
         (values, indices, neighbour_labels): (Q, k), (Q, k), (Q, k, C) —
@@ -286,10 +295,17 @@ def ring_knn_with_labels(
     for a in parts:
         total_parts *= mesh.shape[a]
 
+    do_rerank = rerank_bank is not None and rerank_candidates > k
+    if do_rerank and rerank_queries is None:
+        rerank_queries = queries
+    local_c = max(k, min(rerank_candidates, shard_rows)) if do_rerank else 0
+
     q_n = queries.shape[0]
     pad = (-q_n) % total_parts
     if pad:
         queries = jnp.pad(queries, ((0, pad), (0, 0)))
+        if do_rerank:
+            rerank_queries = jnp.pad(rerank_queries, ((0, pad), (0, 0)))
 
     if kernel == "pallas":
         if distance != "dot_product":
@@ -310,27 +326,42 @@ def ring_knn_with_labels(
 
     perm = [(d, (d + 1) % n) for d in range(n)]
 
-    def local(q, bank_l, labels_l, valid_total):
+    def local(q, bank_l, labels_l, valid_total, *rerank_args):
         i = jax.lax.axis_index(bank_axis)
         start = (i * shard_rows).astype(jnp.int32)
         local_valid = jnp.clip(valid_total[0] - start, 0, shard_rows)
         nc = labels_l.shape[1]
+        if do_rerank:
+            q_r0, rbank_l = rerank_args
+        else:
+            q_r0, rbank_l = q[:, :0], None  # zero-width placeholder travels free
 
         def score_body(_, carry):
-            q_c, vals, idx = carry
-            b_vals, b_idx = search(q_c, bank_l, k, local_valid)
+            q_c, q_r, vals, idx = carry
+            if do_rerank:
+                from hbird_tpu.ops.knn import rerank_exact
+
+                cvals, cand = search(q_c, bank_l, local_c, local_valid)
+                cand_ok = jnp.isfinite(cvals) & (cand < local_valid)
+                b_vals, b_idx = rerank_exact(
+                    q_r, rbank_l, cand, k, cand_valid=cand_ok
+                )
+            else:
+                b_vals, b_idx = search(q_c, bank_l, k, local_valid)
             vals, idx = _merge_topk(vals, idx, b_vals, b_idx + start, k)
             q_c = jax.lax.ppermute(q_c, bank_axis, perm)
+            q_r = jax.lax.ppermute(q_r, bank_axis, perm)
             vals = jax.lax.ppermute(vals, bank_axis, perm)
             idx = jax.lax.ppermute(idx, bank_axis, perm)
-            return q_c, vals, idx
+            return q_c, q_r, vals, idx
 
         init = (
             q,
+            q_r0,
             jnp.full((q.shape[0], k), NEG_INF, jnp.float32),
             jnp.zeros((q.shape[0], k), jnp.int32),
         )
-        _, vals, idx = jax.lax.fori_loop(0, n, score_body, init)
+        _, _, vals, idx = jax.lax.fori_loop(0, n, score_body, init)
 
         def label_body(_, carry):
             idx_c, lab = carry
@@ -350,14 +381,19 @@ def ring_knn_with_labels(
         idx_home, lab = jax.lax.fori_loop(0, n, label_body, (idx, lab0))
         return vals, idx_home, lab
 
+    in_specs = [P(parts), P(bank_axis), P(bank_axis), P()]
+    args = [queries, bank, labels, valid_rows.reshape(1)]
+    if do_rerank:
+        in_specs += [P(parts), P(bank_axis)]
+        args += [rerank_queries, rerank_bank]
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(parts), P(bank_axis), P(bank_axis), P()),
+        in_specs=tuple(in_specs),
         out_specs=(P(parts), P(parts), P(parts)),
         check_vma=False,
     )
-    vals, idx, lab = fn(queries, bank, labels, valid_rows.reshape(1))
+    vals, idx, lab = fn(*args)
     if pad:
         vals, idx, lab = vals[:q_n], idx[:q_n], lab[:q_n]
     return vals, idx, lab

@@ -112,3 +112,55 @@ class TestRingMatchesOracle:
             np.asarray(vals), np.asarray(ref_vals), rtol=1e-5, atol=1e-6
         )
         assert np.asarray(idx).max() < 130
+
+
+class TestRingRerank:
+    def test_ring_with_rerank_matches_oracle(self):
+        """Ring + ScaNN-style exact reorder, incl. shards smaller than the
+        candidate budget."""
+        from hbird_tpu.ops.knn import exact_knn
+        from hbird_tpu.parallel.sharded_knn import (
+            ring_knn_with_labels, shard_bank,
+        )
+        from hbird_tpu.parallel import make_mesh
+
+        bank, labels, q = _fixture(m=200, q=24, seed=4)
+        k = 6
+        mesh = make_mesh((4,), ("bank",))
+        bank_s, labels_s, valid = shard_bank(bank, labels, mesh)
+        vals, idx, lab = ring_knn_with_labels(
+            jnp.asarray(q), bank_s, labels_s, k, mesh=mesh,
+            valid_rows=valid, kernel="xla",
+            rerank_bank=bank_s, rerank_candidates=120,
+        )
+        ref_vals, ref_idx = exact_knn(jnp.asarray(q), jnp.asarray(bank), k)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(idx), -1), np.sort(np.asarray(ref_idx), -1)
+        )
+        np.testing.assert_allclose(
+            np.sort(np.asarray(vals), -1), np.sort(np.asarray(ref_vals), -1),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_ring_int8_rerank_backend(self):
+        """The full backend path: int8 scan + bf16 rerank over the ring."""
+        from hbird_tpu.nn.search_exact import NearestNeighborSearchExact
+        from hbird_tpu.ops.knn import exact_knn
+        from hbird_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(5)
+        m, d, k = 1000, 32, 8
+        bank = rng.normal(size=(m, d)).astype(np.float32)
+        bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+        q = rng.normal(size=(32, d)).astype(np.float32)
+        mesh = make_mesh((4,), ("bank",))
+        nn8 = NearestNeighborSearchExact(
+            bank, n_neighbors=k, use_int8=True, num_reordering_candidates=60,
+            mesh=mesh, shard_strategy="ring", query_block=32, bank_block=128,
+        )
+        idx, _ = nn8.find_nearest_neighbors(q, k)
+        _, ref = exact_knn(jnp.asarray(q), jnp.asarray(bank), k)
+        recall = np.mean(
+            [len(set(idx[i]) & set(np.asarray(ref)[i])) / k for i in range(32)]
+        )
+        assert recall >= 0.95, recall
