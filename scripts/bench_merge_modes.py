@@ -33,14 +33,14 @@ bank_d = jax.device_put(jnp.asarray(bank, jnp.bfloat16))
 q_d = jax.device_put(jnp.asarray(queries, jnp.bfloat16))
 
 ref_idx = None
-import itertools
 CONFIGS = [
-    ("single", 512, 8192, 32),
-    ("carry", 512, 8192, 32),
+    ("carry", 192, 8192, 32),
+    ("carry", 320, 8192, 32),
     ("carry", 256, 8192, 32),
-    ("carry", 256, 4096, 32),
+    ("carry", 256, 12288, 32),
+    ("carry", 384, 8192, 32),
 ]
-for mode, bq, bm, nb in itertools.chain(*([CONFIGS] * 2)):
+for mode, bq, bm, nb in CONFIGS:
     tag = f"{mode} bq={bq} bm={bm}" + (f" nb={nb}" if mode == "bucket" else "")
     try:
         t0 = time.time()

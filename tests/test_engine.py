@@ -267,6 +267,31 @@ class TestEndToEnd:
         miou_2d = build(make_mesh((2, 4), ("data", "bank")))
         assert miou_single == pytest.approx(miou_2d, abs=1e-6)
 
+    def test_mesh_ring_strategy_matches_single(self, voc_color):
+        # Same engine run with the query-sharded ring merge.
+        from hbird_tpu.data import get_dataset
+        from hbird_tpu.data.transforms import get_hbird_val_transforms
+
+        va = get_hbird_val_transforms(INPUT)
+        fe = FeatureExtractorSimple(None, oracle_fn, eval_spatial_resolution=S, d_model=3)
+
+        def build(mesh, nn_params=None):
+            import random
+
+            random.seed(0)
+            ds, _ = get_dataset("voc", voc_color, 4, 0, va, va, None, None)
+            ev = HbirdEvaluation(
+                fe, ds.train_dataloader(), num_classes=21, n_neighbours=5,
+                mesh=mesh, seed=7, nn_params=nn_params,
+            )
+            return ev.evaluate(ds.val_dataloader(), S, ignore_index=255)
+
+        miou_single = build(None)
+        miou_ring = build(
+            make_mesh((8,), ("bank",)), {"shard_strategy": "ring"}
+        )
+        assert miou_single == pytest.approx(miou_ring, abs=1e-6)
+
 
 class TestOtherDatasetsEndToEnd:
     """Engine wiring across the non-VOC datasets (random features; asserts
