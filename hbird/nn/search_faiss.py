@@ -2,4 +2,6 @@
 
 from hbird_tpu.nn.search_exact import NearestNeighborSearchExact as NearestNeighborSearchFaiss
 
-__all__ = ["NearestNeighborSearchFaiss"]
+from hbird_tpu.nn.search_base import NearestNeighborSearchBase
+
+__all__ = ["NearestNeighborSearchFaiss", "NearestNeighborSearchBase"]

@@ -2,4 +2,6 @@
 
 from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox as NearestNeighborSearchScaNN
 
-__all__ = ["NearestNeighborSearchScaNN"]
+from hbird_tpu.nn.search_base import NearestNeighborSearchBase
+
+__all__ = ["NearestNeighborSearchScaNN", "NearestNeighborSearchBase"]

@@ -9,3 +9,9 @@ from hbird_tpu.data.transforms import (
     get_hbird_transforms,
     get_hbird_val_transforms,
 )
+from hbird_tpu.data.transforms import (  # noqa: E402  (reference re-exports, transforms.py:20-26)
+    Compose,
+    RandomHorizontalFlip,
+    RandomResizedCrop,
+    Resize,
+)
