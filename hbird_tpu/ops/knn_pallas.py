@@ -284,6 +284,54 @@ def _knn_kernel(
         @pl.when(jnp.any(m0 > jnp.min(vals_ref[...], axis=1, keepdims=True)))
         def _merge_carry():
             jax.lax.while_loop(cond, body, (jnp.int32(0), m0))
+    elif merge_mode == "carry2":
+        # carry variant extracting TWO candidates per tile read/write:
+        # amortizes the expensive full-tile load + store over 2 insertions.
+        col_l = jax.lax.broadcasted_iota(
+            jnp.int32, (q_ref.shape[0], block_m), 1
+        )
+        big = jnp.int32(2**30)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+        m0 = jnp.max(s_ref[...], axis=1, keepdims=True)
+
+        def insert(cur_max, cand_col):
+            run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)
+            better = cur_max > run_min
+            min_slot = jnp.min(
+                jnp.where(vals_ref[...] <= run_min, slot_ids, big),
+                axis=1, keepdims=True,
+            )
+            do = better & (slot_ids == min_slot)
+            vals_ref[...] = jnp.where(do, cur_max, vals_ref[...])
+            idx_ref[...] = jnp.where(do, cand_col + base, idx_ref[...])
+            return better
+
+        def cond(carry):
+            i, cur_max = carry
+            run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)
+            return jnp.logical_and(i < k_pad, jnp.any(cur_max > run_min))
+
+        def body(carry):
+            i, cur_max = carry
+            s_cur = s_ref[...]  # one tile read per TWO extractions
+            col1 = jnp.min(
+                jnp.where(s_cur >= cur_max, col_l, big), axis=1, keepdims=True
+            )
+            b1 = insert(cur_max, col1)
+            s_cur = jnp.where((col_l == col1) & b1, NEG_INF, s_cur)
+            max2 = jnp.max(s_cur, axis=1, keepdims=True)
+            col2 = jnp.min(
+                jnp.where(s_cur >= max2, col_l, big), axis=1, keepdims=True
+            )
+            b2 = insert(max2, col2)
+            s_cur = jnp.where((col_l == col2) & b2, NEG_INF, s_cur)
+            s_ref[...] = s_cur  # one tile write
+            new_max = jnp.max(s_cur, axis=1, keepdims=True)
+            return i + 2, new_max
+
+        @pl.when(jnp.any(m0 > jnp.min(vals_ref[...], axis=1, keepdims=True)))
+        def _merge_carry2():
+            jax.lax.while_loop(cond, body, (jnp.int32(0), m0))
     else:
         # Chunk-level predication: only chunks holding something better
         # than the current k-th best pay merge passes (rare after a few
@@ -393,9 +441,13 @@ def pallas_knn(
     # q/s at nb=32 vs 51.9k single; nb=64/128 and bm=16384 worse still) —
     # the static per-bucket slice loops defeat Mosaic's full-width
     # vectorization even though rounds are rare. Kept for exotic shapes.
+    # 'carry2' (two extractions per tile read/write) also measured slower
+    # (52.3k vs 57-60k carry): the tile value stays in VMEM either way, so
+    # the amortized load/store never materializes while the extra max/where
+    # passes do. 'carry' at block_q=256 remains the production default.
     merge_chunk = min(merge_chunk or block_m, block_m)
     assert block_m % merge_chunk == 0, (block_m, merge_chunk)
-    assert merge_mode in ("single", "bucket", "carry"), merge_mode
+    assert merge_mode in ("single", "bucket", "carry", "carry2"), merge_mode
     if merge_mode == "bucket":
         n_buckets = min(n_buckets, block_m)
         assert block_m % n_buckets == 0, (block_m, n_buckets)

@@ -237,3 +237,40 @@ class TestBucketMerge:
         np.testing.assert_array_equal(
             np.sort(np.asarray(idx), -1), np.sort(np.asarray(ri), -1)
         )
+
+
+class TestCarryMerges:
+    """carry (default) and carry2 variants vs the oracle (interpret)."""
+
+    @pytest.mark.parametrize("mode", ["carry", "carry2"])
+    def test_matches_exact(self, mode):
+        from hbird_tpu.ops.knn import exact_knn
+        from hbird_tpu.ops.knn_pallas import pallas_knn
+
+        rng = np.random.default_rng(20)
+        bank = rng.normal(size=(3000, 24)).astype(np.float32)
+        q = rng.normal(size=(48, 24)).astype(np.float32)
+        vals, idx = pallas_knn(
+            jnp.asarray(q), jnp.asarray(bank), 17, block_q=48,
+            block_m=1024, merge_mode=mode,
+        )
+        rv, ri = exact_knn(jnp.asarray(q), jnp.asarray(bank), 17)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(rv), rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(idx), -1), np.sort(np.asarray(ri), -1)
+        )
+
+    @pytest.mark.parametrize("mode", ["carry", "carry2"])
+    def test_ties_and_valid_rows(self, mode):
+        from hbird_tpu.ops.knn import exact_knn
+        from hbird_tpu.ops.knn_pallas import pallas_knn
+
+        bank = np.zeros((512, 8), np.float32)
+        bank[:40, 0] = 1.0
+        q = np.ones((4, 8), np.float32)
+        vals, _ = pallas_knn(
+            jnp.asarray(q), jnp.asarray(bank), 30, block_q=8,
+            block_m=256, merge_mode=mode, valid_rows=300,
+        )
+        rv, _ = exact_knn(jnp.asarray(q), jnp.asarray(bank[:300]), 30)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(rv))
