@@ -170,6 +170,7 @@ class HbirdEvaluation:
         self.l_mem_p = l_mem_p
         self.mesh = mesh
         self.bf16_bank = bf16_bank
+        self._dataset_size = dataset_size
         self._key = jax.random.PRNGKey(seed)
         self.timer = PhaseTimer()
         # Backbone weights as a device-resident jit argument (see _forward_fn).
@@ -318,21 +319,26 @@ class HbirdEvaluation:
         # during the build (the reference pulls every batch to CPU,
         # hbird_eval.py:328-355). Unbounded banks may exceed HBM and go to
         # host; mesh-sharded banks are assembled host-side then placed.
-        device_accum = (
-            bounded
-            and self.mesh is None
-            and getattr(self.feature_extractor, "jittable", True)
+        # Unbounded banks with a known dataset_size have a known final
+        # size too (every image contributes S^2 rows per augmentation
+        # epoch) and use the same donated-write accumulation — unlike a
+        # final jnp.concatenate of chunks, peak HBM never doubles.
+        expected_rows = None
+        if not bounded and self._dataset_size:
+            s2 = eval_spatial_resolution * eval_spatial_resolution
+            expected_rows = self._dataset_size * s2 * self.augmentation_epoch
+        accum_rows = self.memory_size if bounded else expected_rows
+        device_capable = self.mesh is None and getattr(
+            self.feature_extractor, "jittable", True
         )
-        # Unbounded banks also stay device-resident when unmeshed: pulling
-        # every (rows, D) feature slab to host costs bank_bytes of
-        # host<->device bandwidth (tens of seconds through a remote tunnel)
-        # for data the NN index wants back on device anyway. Mesh-sharded
-        # banks are assembled host-side then placed shard-wise.
-        device_chunks = (
-            not bounded
-            and self.mesh is None
-            and getattr(self.feature_extractor, "jittable", True)
-        )
+        device_accum = accum_rows is not None and device_capable
+        # Unbounded banks of unknown size still stay device-resident when
+        # unmeshed (chunk list + one concatenate): pulling every (rows, D)
+        # feature slab to host costs bank_bytes of host<->device bandwidth
+        # (tens of seconds through a remote tunnel) for data the NN index
+        # wants back on device anyway. Mesh-sharded banks are assembled
+        # host-side then placed shard-wise.
+        device_chunks = not bounded and not device_accum and device_capable
         feature_chunks: List[np.ndarray] = []
         label_chunks: List[np.ndarray] = []
         idx = 0
@@ -341,9 +347,9 @@ class HbirdEvaluation:
 
         if device_accum:
             dev_feats = jnp.zeros(
-                (self.memory_size, self.feature_extractor.d_model), jnp.float32
+                (accum_rows, self.feature_extractor.d_model), jnp.float32
             )
-            dev_labels = jnp.zeros((self.memory_size, self.num_classes), jnp.float32)
+            dev_labels = jnp.zeros((accum_rows, self.num_classes), jnp.float32)
 
             @jax.jit
             def write_rows(bank, rows, start):
@@ -354,9 +360,9 @@ class HbirdEvaluation:
             the device for host-bound paths)."""
             nonlocal idx, dev_feats, dev_labels
             rows_per_img = feats.shape[0] // bs
-            n_rows = min(valid * rows_per_img, self.memory_size - idx) \
-                if bounded else valid * rows_per_img
-            if bounded and device_accum:
+            n_rows = min(valid * rows_per_img, accum_rows - idx) \
+                if accum_rows is not None else valid * rows_per_img
+            if device_accum:
                 # Full batches write in place (async dispatch, no host
                 # sync); the (rare) ragged tail batch goes through a host
                 # slice to keep shapes static.
@@ -414,10 +420,15 @@ class HbirdEvaluation:
         self.timer.add_items("memory_build", n_imgs)
 
         if device_accum:
+            if not bounded and idx < accum_rows:
+                # Loader yielded fewer images than dataset_size promised.
+                dev_feats = dev_feats[:idx]
+                dev_labels = dev_labels[:idx]
             self.feature_memory = dev_feats
             self.label_memory = dev_labels
             logger.info(
-                "Bounded memory filled rows: %d (device-resident, %.1fs)",
+                "%s memory filled rows: %d (device-resident, %.1fs)",
+                "Bounded" if bounded else "Unbounded",
                 idx,
                 time.time() - t0,
             )

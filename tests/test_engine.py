@@ -390,3 +390,48 @@ class TestOtherDatasetsEndToEnd:
             num_workers=0,
         )
         assert 0.0 <= float(miou) <= 1.0
+
+
+class TestSizedUnboundedAccumulation:
+    def test_known_size_matches_chunked_path(self):
+        """Unbounded + dataset_size uses preallocated donated writes; the
+        bank must equal the unknown-size (concat) path exactly."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        fe = FeatureExtractorSimple(None, oracle_fn, eval_spatial_resolution=8,
+                                    d_model=3)
+        imgs = rng.normal(size=(6, 3, 32, 32)).astype(np.float32)
+        ids = (rng.integers(0, 5, (6, 1, 32, 32)) / 255.0).astype(np.float32)
+        loader = [(imgs[:4], ids[:4]), (imgs[4:], ids[4:])]  # ragged tail
+
+        ev_sized = HbirdEvaluation(
+            fe, loader, num_classes=21, n_neighbours=3, dataset_size=6,
+            augmentation_epoch=1,
+        )
+        ev_chunked = HbirdEvaluation(
+            fe, loader, num_classes=21, n_neighbours=3,
+        )
+        assert ev_sized.feature_memory.shape == (6 * 64, 3)
+        np.testing.assert_array_equal(
+            np.asarray(ev_sized.feature_memory),
+            np.asarray(ev_chunked.feature_memory),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ev_sized.label_memory),
+            np.asarray(ev_chunked.label_memory),
+        )
+
+    def test_loader_shorter_than_dataset_size(self):
+        import numpy as np
+
+        rng = np.random.default_rng(1)
+        fe = FeatureExtractorSimple(None, oracle_fn, eval_spatial_resolution=8,
+                                    d_model=3)
+        imgs = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+        ids = (rng.integers(0, 5, (2, 1, 32, 32)) / 255.0).astype(np.float32)
+        ev = HbirdEvaluation(
+            fe, [(imgs, ids)], num_classes=21, n_neighbours=3, dataset_size=5,
+        )
+        # Trimmed to the rows actually produced.
+        assert ev.feature_memory.shape == (2 * 64, 3)
