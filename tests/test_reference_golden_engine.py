@@ -41,11 +41,20 @@ def ref_engine():
         if k == "hbird" or k.startswith("hbird.")
     }
 
+    stubbed = []
+
     def stub(name, attrs=()):
         m = types.ModuleType(name)
+        # a None __spec__ breaks importlib.util.find_spec for any later
+        # caller (e.g. transformers' availability probes)
+        import importlib.machinery
+
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
         for a in attrs:
             setattr(m, a, type(a, (), {"__init__": lambda self, *x, **k: None}))
-        sys.modules.setdefault(name, m)
+        if name not in sys.modules:
+            sys.modules[name] = m
+            stubbed.append(name)
         return sys.modules[name]
 
     tv = stub("torchvision")
@@ -77,6 +86,8 @@ def ref_engine():
         for k in list(sys.modules):
             if k == "hbird" or k.startswith("hbird."):
                 del sys.modules[k]
+        for k in stubbed:
+            sys.modules.pop(k, None)
         sys.modules.update(saved)
     return mod
 
