@@ -150,6 +150,7 @@ class HbirdEvaluation:
         seed: int = 123,
         bf16_bank: bool = False,
         device_norm=None,
+        aot_eval: Optional[Dict[str, Any]] = None,
     ) -> None:
         del device  # placement is managed by JAX/the mesh
         # (mean, std) for on-device normalization of uint8 batches (see
@@ -211,6 +212,13 @@ class HbirdEvaluation:
                 (memory_size, feature_extractor.d_model), np.float32
             )
             self.label_memory = np.zeros((memory_size, num_classes), np.float32)
+
+        self._aot = None
+        if aot_eval:
+            try:
+                self._start_aot_eval(**aot_eval)
+            except Exception as e:  # AOT is best-effort; evaluate() will JIT
+                logger.info("AOT eval-step precompile skipped: %s", e)
 
         with self.timer.phase("memory_build"), maybe_trace("memory_build"):
             filled = self._create_memory(
@@ -493,8 +501,9 @@ class HbirdEvaluation:
     # ------------------------------------------------------------------
     # NN backend
     # ------------------------------------------------------------------
-    def _create_nn(self, n_neighbours: int = 30, nn_method: str = "exact", **kwargs):
-        logger.info("Building NN index: method=%s, k=%d", nn_method, n_neighbours)
+    def _nn_cls_kwargs(self, nn_method: str, **kwargs):
+        """Resolve the backend class + effective kwargs (shared by the real
+        index build and the AOT dummy so both trace the same program)."""
         cls = (
             NearestNeighborSearchApprox
             if _NN_ALIASES.get(nn_method, nn_method) == "approx"
@@ -507,6 +516,11 @@ class HbirdEvaluation:
             "use_fp16",
             self.bf16_bank or cls is NearestNeighborSearchApprox,
         )
+        return cls, kwargs
+
+    def _create_nn(self, n_neighbours: int = 30, nn_method: str = "exact", **kwargs):
+        logger.info("Building NN index: method=%s, k=%d", nn_method, n_neighbours)
+        cls, kwargs = self._nn_cls_kwargs(nn_method, **kwargs)
         self.NN_algorithm = cls(
             self.feature_memory,
             n_neighbors=n_neighbours,
@@ -514,6 +528,143 @@ class HbirdEvaluation:
             label_memory=self.label_memory,
             **kwargs,
         )
+
+    # ------------------------------------------------------------------
+    # Ahead-of-time eval-step compilation (overlaps the memory build)
+    # ------------------------------------------------------------------
+    def _start_aot_eval(
+        self,
+        batch_size: int,
+        input_size: int,
+        ignore_index: int = 255,
+        img_dtype=np.uint8,
+        mask_dtype=np.uint8,
+        return_knn_details: bool = False,
+    ) -> None:
+        """Compile the fused eval step in a background thread WHILE the
+        memory build streams, hiding the XLA/Mosaic compile (tens of
+        seconds through a remote compiler) behind the build phase.
+
+        Valid because the eval step is pure over (imgs, masks, operand,
+        nn_state): a backend constructed with the real CONFIG but a dummy
+        2-row bank traces the identical program once its `valid_rows` and
+        state avals are pinned to the expected bank size — every
+        value-dependent quantity (bank, labels, int8 scale) flows through
+        the state argument. `evaluate` picks the executable up when the
+        first real batch's avals match; any mismatch (e.g. a trimmed
+        bounded bank) silently falls back to the jitted path.
+        """
+        import threading
+
+        if self.mesh is not None or not getattr(
+            self.feature_extractor, "jittable", True
+        ):
+            return
+        if self.nn_params.get("idx_shard") or self.nn_params.get("devices"):
+            # Backend-internal meshes shard the state; the AOT executable
+            # would be placement-incompatible. Let those JIT.
+            return
+        if return_knn_details:
+            return  # the details path is a debugging surface; let it JIT
+        rows = self.memory_size
+        if rows is None:
+            if not self._dataset_size:
+                return  # unbounded bank of unknown final size
+            s2 = self.feature_extractor.eval_spatial_resolution ** 2
+            rows = self._dataset_size * s2 * self.augmentation_epoch
+        rows = int(rows)
+        d = self.feature_extractor.d_model
+        cls, kwargs = self._nn_cls_kwargs(self.nn_method, **self.nn_params)
+        dummy = cls(
+            np.zeros((2, d), np.float32),
+            n_neighbors=self.n_neighbours,
+            label_memory=np.zeros((2, self.num_classes), np.float32),
+            **kwargs,
+        )
+        dummy.valid_rows = rows
+        esr = self.feature_extractor.eval_spatial_resolution
+        step = self._make_eval_step(
+            esr, ignore_index, return_knn_details, nn=dummy
+        )
+        b = self._pad_target(batch_size)
+        specs = (
+            jax.ShapeDtypeStruct((b, 3, input_size, input_size), np.dtype(img_dtype)),
+            jax.ShapeDtypeStruct((b, 1, input_size, input_size), np.dtype(mask_dtype)),
+            jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
+                self._fwd_operand,
+            ),
+            dummy.state_spec(rows),
+        )
+        holder: Dict[str, Any] = {}
+
+        def work():
+            try:
+                t0 = time.time()
+                holder["compiled"] = step.lower(*specs).compile()
+                logger.info(
+                    "AOT eval-step compile finished in %.1fs", time.time() - t0
+                )
+            except Exception as e:  # evaluate() falls back to JIT
+                holder["error"] = e
+                logger.info("AOT eval-step compile failed (will JIT): %s", e)
+
+        th = threading.Thread(target=work, name="hbird-aot-eval", daemon=True)
+        th.start()
+        self._aot = {
+            "thread": th,
+            "holder": holder,
+            "specs": specs,
+            "esr": esr,
+            "ignore_index": ignore_index,
+            "return_knn_details": return_knn_details,
+        }
+        logger.info(
+            "AOT eval-step compile started in background "
+            "(bank rows=%d, batch=%d, input=%d)",
+            rows,
+            b,
+            input_size,
+        )
+
+    def _take_aot_step(self, imgs, masks, esr: int, ignore_index,
+                       return_knn_details: bool):
+        """Return the precompiled eval step if its avals match the first
+        real batch + live state; None -> caller keeps the jitted path."""
+        aot, self._aot = getattr(self, "_aot", None), None  # one-shot
+        if not aot:
+            return None
+        if (
+            aot["esr"] != esr
+            or aot["ignore_index"] != ignore_index
+            or aot["return_knn_details"] != return_knn_details
+        ):
+            return None
+
+        def sig(tree):
+            leaves, treedef = jax.tree_util.tree_flatten(tree)
+            return treedef, [
+                (tuple(leaf.shape), np.dtype(leaf.dtype)) for leaf in leaves
+            ]
+
+        actual = sig(
+            (imgs, masks, self._fwd_operand, self.NN_algorithm.device_state)
+        )
+        wanted = sig(aot["specs"])
+        if actual != wanted:
+            logger.info(
+                "AOT eval step unused (aval mismatch); falling back to JIT"
+            )
+            return None
+        # Same compile we would otherwise pay inline, so an unconditional
+        # join is never slower than the fallback.
+        aot["thread"].join()
+        compiled = aot["holder"].get("compiled")
+        if compiled is None:
+            return None
+        logger.info("Using AOT-compiled eval step")
+        self._aot_used = True  # breadcrumb for tests/diagnostics
+        return compiled
 
     def _find_nearest_key_to_query(self, q) -> Tuple[np.ndarray, np.ndarray]:
         """Retrieve neighbour features and labels for query patches.
@@ -544,9 +695,13 @@ class HbirdEvaluation:
     # Evaluation
     # ------------------------------------------------------------------
     def _make_eval_step(self, eval_spatial_resolution: int, ignore_index: int,
-                        return_knn_details: bool):
+                        return_knn_details: bool, nn=None):
         fe = self.feature_extractor
-        nn = self.NN_algorithm
+        # `nn` is only consulted for CONFIG (k, kernel, block sizes, rerank
+        # setup); all value state flows through the `nn_state` argument —
+        # which is what makes AOT compilation against a dummy-config
+        # backend valid (see _start_aot_eval).
+        nn = nn if nn is not None else self.NN_algorithm
         num_classes = self.num_classes
         k = self.n_neighbours
         fwd, _ = self._forward_fn()
@@ -645,6 +800,7 @@ class HbirdEvaluation:
         timing = os.environ.get("HBIRD_EVAL_TIMING")
         t_prev = time.perf_counter()
         in_flight = None
+        aot_checked = False
         for x, y in tqdm(val_loader, desc="Evaluation loop"):
             if timing:
                 t_host = time.perf_counter()
@@ -663,9 +819,19 @@ class HbirdEvaluation:
                     (batch_size,) + y.shape[1:], ign / 255.0, np.float32
                 )
             y_pad[:valid] = y
+            xb = self._put_batch(x)
+            yb = self._put_batch(y_pad)
+            if not aot_checked:
+                aot_checked = True
+                alt = self._take_aot_step(
+                    xb, yb, eval_spatial_resolution, ignore_index,
+                    return_knn_details,
+                )
+                if alt is not None:
+                    step = alt
             conf, pred, y_ids, details = step(
-                self._put_batch(x),
-                self._put_batch(y_pad),
+                xb,
+                yb,
                 self._fwd_operand,
                 self.NN_algorithm.device_state,
             )
@@ -812,6 +978,10 @@ def hbird_evaluation(
     train_loader = dataset.train_dataloader()
     val_loader = dataset.val_dataloader()
 
+    # Dataset-local ignore_index wins unless the caller overrides with a
+    # non-default value (reference hbird_eval.py:714-715).
+    effective_ignore = ignore_index if ignore_index != 255 else ignore_index_local
+
     evaluator = HbirdEvaluation(
         feature_extractor,
         train_loader,
@@ -829,11 +999,17 @@ def hbird_evaluation(
         seed=seed,
         bf16_bank=bf16_bank,
         device_norm=train_transforms.get("device_norm"),
+        # Pre-compile the eval step during the memory build (hides the
+        # remote XLA/Mosaic compile behind the build phase).
+        aot_eval=dict(
+            batch_size=batch_size,
+            input_size=input_size,
+            ignore_index=effective_ignore,
+            img_dtype=np.uint8 if device_normalize else np.float32,
+            mask_dtype=np.uint8 if device_normalize else np.float32,
+            return_knn_details=return_knn_details,
+        ),
     )
-
-    # Dataset-local ignore_index wins unless the caller overrides with a
-    # non-default value (reference hbird_eval.py:714-715).
-    effective_ignore = ignore_index if ignore_index != 255 else ignore_index_local
 
     result = evaluator.evaluate(
         val_loader,

@@ -43,3 +43,22 @@ class NearestNeighborSearchBase(ABC):
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Return (indices, distances) for queries q — numpy, like the
         reference backends (search_faiss.py:83-90)."""
+
+    def state_spec(self, n_rows: int):
+        """`jax.ShapeDtypeStruct` pytree of `device_state` as it would look
+        with an `n_rows`-row bank (2-D arrays scale with the row count,
+        scalars keep their shape).
+
+        Lets the engine AOT-compile the fused eval step on a dummy-config
+        backend before the real bank exists — the compiled program is
+        valid for any state with these avals, because
+        `search_with_labels_pure` reads all value-dependent quantities
+        (bank, labels, quantization scale) from the state argument.
+        """
+        import jax
+
+        def spec(x):
+            shape = ((n_rows,) + x.shape[1:]) if x.ndim >= 2 else x.shape
+            return jax.ShapeDtypeStruct(shape, x.dtype)
+
+        return jax.tree.map(spec, self.device_state)

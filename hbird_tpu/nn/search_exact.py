@@ -155,6 +155,12 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         state = {"bank": self.bank, "labels": self.labels}
         if self.rerank_bank is not None:
             state["rerank_bank"] = self.rerank_bank
+        if self._bank_scale is not None:
+            # The int8 quantization scale is VALUE state, not config: it
+            # must travel through the state pytree (a closed-over scalar
+            # would be baked into the compiled program as a constant,
+            # breaking AOT compilation against abstract state specs).
+            state["bank_scale"] = self._bank_scale
         return state
 
     def search_with_labels(
@@ -174,6 +180,7 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         bank = state["bank"]
         labels = state["labels"]
         rerank_bank = state.get("rerank_bank")
+        bank_scale = state.get("bank_scale", self._bank_scale)
         k = k or self.n_neighbors
         rerank = self.use_int8 and rerank_bank is not None
         if self.use_int8:
@@ -205,7 +212,7 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
                 rerank_candidates=self.num_reordering_candidates if rerank else 0,
             )
             if self.use_int8 and not rerank:
-                vals = vals * (self._bank_scale * q_scale)
+                vals = vals * (bank_scale * q_scale)
             return vals, idx, out_labels
         vals, idx, out_labels = sharded_knn_with_labels(
             q_cast,
@@ -226,7 +233,7 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
             # Rescale int32 scores back to (approximate) dot products so
             # downstream cross-attention temperatures stay calibrated.
             # (Reranked scores are already exact bf16 dot products.)
-            vals = vals * (self._bank_scale * q_scale)
+            vals = vals * (bank_scale * q_scale)
         return vals, idx, out_labels
 
     def find_nearest_neighbors(
