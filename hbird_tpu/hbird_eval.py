@@ -540,6 +540,7 @@ class HbirdEvaluation:
         img_dtype=np.uint8,
         mask_dtype=np.uint8,
         return_knn_details: bool = False,
+        bank_rows: Optional[int] = None,
     ) -> None:
         """Compile the fused eval step in a background thread WHILE the
         memory build streams, hiding the XLA/Mosaic compile (tens of
@@ -566,7 +567,7 @@ class HbirdEvaluation:
             return
         if return_knn_details:
             return  # the details path is a debugging surface; let it JIT
-        rows = self.memory_size
+        rows = bank_rows if bank_rows is not None else self.memory_size
         if rows is None:
             if not self._dataset_size:
                 return  # unbounded bank of unknown final size

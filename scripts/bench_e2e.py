@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--host-normalize", action="store_true",
                     help="f32 host feed (legacy) instead of uint8 + "
                          "on-device normalize")
+    ap.add_argument("--no-aot", action="store_true",
+                    help="disable the background AOT compile of the eval "
+                         "step (measures the inline-JIT baseline)")
     args = ap.parse_args()
 
     print("device:", jax.devices(), flush=True)
@@ -82,6 +85,13 @@ def main():
         dataset_size=ds.get_train_dataset_size(),
         bf16_bank=True,
         device_norm=tr.get("device_norm"),
+        aot_eval=None if args.no_aot else dict(
+            batch_size=args.batch_size,
+            input_size=args.input_size,
+            ignore_index=ign,
+            img_dtype="uint8" if dev_norm else "float32",
+            mask_dtype="uint8" if dev_norm else "float32",
+        ),
     )
     print(f"memory+index: {time.time()-t0:.1f}s "
           f"({ev.feature_memory.shape[0]} rows)", flush=True)

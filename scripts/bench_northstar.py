@@ -65,6 +65,14 @@ def main():
         n_neighbours=args.k, nn_method="exact",
         nn_params={} if args.no_int8 else {"use_int8": True},
         bf16_bank=True,
+        # Pre-compile the eval step against the INJECTED bank's shape so
+        # the Mosaic compile overlaps the slab-wise bank build below.
+        aot_eval=dict(
+            batch_size=args.batch_size,
+            input_size=args.input_size,
+            ignore_index=255,
+            bank_rows=args.bank_rows,
+        ),
     )
     print(f"engine up ({time.time()-t0:.1f}s); building {args.bank_rows:,}-row bank",
           flush=True)
