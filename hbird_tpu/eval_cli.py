@@ -307,9 +307,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 backbone compute (TPU analogue of CUDA AMP).")
     p.add_argument("--n-neighbours", type=_positive_int, default=30)
     p.add_argument("--nn-method",
-                   choices=["scann", "faiss", "exact", "approx"], default="scann",
+                   choices=["scann", "faiss", "exact", "approx", "ivf",
+                            "tree"],
+                   default="scann",
                    help="faiss/exact = exact flat kNN; scann/approx = "
-                        "approx top-k (TPU PartialReduce).")
+                        "approx top-k (TPU PartialReduce); ivf/tree = "
+                        "leaf-partitioned scan (ScaNN tree() semantics; "
+                        "num_leaves / num_leaves_to_search nn-params).")
     p.add_argument("--nn-param", action="append", default=[], metavar="KEY=VALUE",
                    help="Extra NN param (repeatable), e.g. --nn-param use_fp16=true")
     p.add_argument("--memory-size", type=int, default=None)

@@ -70,6 +70,11 @@ _NN_ALIASES = {
     "flat": "exact",
     "scann": "approx",
     "approx": "approx",
+    # True leaf-partitioned backend (ScaNN tree() semantics): approx
+    # class with use_tree on — k-means leaves, capacity-balanced layout,
+    # probed-leaf Pallas scan (ops/ivf.py).
+    "ivf": "ivf",
+    "tree": "ivf",
 }
 
 
@@ -161,7 +166,9 @@ class HbirdEvaluation:
         self.feature_extractor = feature_extractor
         method = _NN_ALIASES.get(nn_method.lower())
         if method is None:
-            raise AssertionError("Only faiss/exact and scann/approx are supported")
+            raise AssertionError(
+                "Only faiss/exact, scann/approx and ivf/tree are supported"
+            )
         self.nn_method = method
         self.augmentation_epoch = augmentation_epoch
         self.memory_size = memory_size
@@ -504,11 +511,14 @@ class HbirdEvaluation:
     def _nn_cls_kwargs(self, nn_method: str, **kwargs):
         """Resolve the backend class + effective kwargs (shared by the real
         index build and the AOT dummy so both trace the same program)."""
+        method = _NN_ALIASES.get(nn_method, nn_method)
         cls = (
             NearestNeighborSearchApprox
-            if _NN_ALIASES.get(nn_method, nn_method) == "approx"
+            if method in ("approx", "ivf")
             else NearestNeighborSearchExact
         )
+        if method == "ivf":
+            kwargs.setdefault("use_tree", True)
         # exact: bf16 bank tracks the engine flag (faiss useFloat16
         # semantics); approx: bf16 by default (ScaNN's default scoring is
         # quantized; measured recall@30 0.9998 — scripts/bench_backends.py).
@@ -582,7 +592,7 @@ class HbirdEvaluation:
             label_memory=np.zeros((2, self.num_classes), np.float32),
             **kwargs,
         )
-        dummy.valid_rows = rows
+        dummy.pin_expected_rows(rows)
         esr = self.feature_extractor.eval_spatial_resolution
         step = self._make_eval_step(
             esr, ignore_index, return_knn_details, nn=dummy
@@ -735,7 +745,7 @@ class HbirdEvaluation:
                 pred = pred.astype(jnp.uint8)
                 y = jnp.clip(y, 0, 255).astype(jnp.uint8)
             if return_knn_details:
-                key_feats = jnp.take(nn_state["bank"], idx, axis=0).astype(
+                key_feats = nn.gather_features_pure(nn_state, idx).astype(
                     jnp.float32
                 )
                 return conf, pred, y, (key_feats.reshape(b, -1, k, d),

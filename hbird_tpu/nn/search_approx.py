@@ -47,10 +47,14 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         dimensions_per_block: int = 4,
         recall_target: Optional[float] = None,
         use_fp16: bool = True,
+        use_tree: bool = False,
+        tree_sample_rows: int = 131072,
+        kmeans_iters: int = 12,
         mesh=None,
         label_memory=None,
-        query_block: int = 1024,
+        query_block: Optional[int] = None,
         bank_block: int = 8192,
+        seed: int = 0,
         **kwargs,
     ):
         if distance_measure not in ("dot_product", "euclidean", "l2"):
@@ -63,19 +67,92 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         self.num_leaves_to_search = num_leaves_to_search
         self.num_reordering_candidates = num_reordering_candidates
         self.use_fp16 = use_fp16
+        # use_tree=True: REAL tree(num_leaves, num_leaves_to_search)
+        # semantics (reference search_scann.py:26-27) — k-means leaves,
+        # capacity-balanced leaf layout, probed-leaf scan (ops/ivf.py).
+        # Requires dot_product and no bank mesh (falls back with a
+        # warning). Default off: the PartialReduce full-scan path is
+        # faster below ~4M rows (scripts/bench_backends.py).
+        self.use_tree = bool(use_tree) and distance_measure == "dot_product"
+        self.tree_sample_rows = int(tree_sample_rows)
+        self.kmeans_iters = int(kmeans_iters)
+        self.seed = int(seed)
         self.mesh = mesh
         self.label_memory = label_memory
-        self.query_block = int(query_block)
+        # Smaller query tiles keep probed-leaf shortlists coherent in tree
+        # mode; the flat PartialReduce path prefers bigger tiles.
+        self.query_block = int(query_block or (256 if self.use_tree else 1024))
         self.bank_block = int(bank_block)
         super().__init__(feature_memory, n_neighbors, distance_measure)
 
     def _initialize_index(self):
         return None
 
+    def _tree_geometry(self, n_rows: int):
+        from hbird_tpu.ops.ivf import tree_layout
+
+        return tree_layout(n_rows, self.num_leaves)
+
+    def _build_tree(self, bank_in, labels, store):
+        """Leaf-partition the bank: train centroids, balance rows into
+        fixed-capacity leaves, scatter into the leaf-contiguous layout."""
+        from hbird_tpu.ops.ivf import (
+            assign_leaves,
+            balanced_layout,
+            build_ivf_arrays,
+            train_centroids,
+        )
+
+        # Store dtype straight away — a full f32 copy of a multi-GB bank
+        # would double HBM (and kill the 10M-row single-chip path).
+        bank_s = (
+            bank_in.astype(store)
+            if isinstance(bank_in, jax.Array)
+            else jnp.asarray(np.asarray(bank_in, np.float32), store)
+        )
+        m = bank_s.shape[0]
+        n_leaves, cap = self._tree_geometry(m)
+        self._n_leaves, self._cap = n_leaves, cap
+        rng = np.random.default_rng(self.seed)
+        n_sample = min(m, self.tree_sample_rows)
+        sample = bank_s[
+            jnp.asarray(rng.choice(m, n_sample, replace=False))
+        ].astype(jnp.float32)
+        self.centroids = train_centroids(
+            sample, n_leaves, iters=self.kmeans_iters,
+            key=jax.random.PRNGKey(self.seed),
+        )
+        choices = assign_leaves(bank_s, self.centroids, n_choices=3)
+        slots, fill = balanced_layout(choices, n_leaves, cap)
+        if labels is None:
+            labels = jnp.zeros((m, 1), jnp.float32)
+        self.bank, self.labels, self.perm = build_ivf_arrays(
+            bank_s, labels, slots, n_leaves, cap
+        )
+        # orig row -> leaf slot (for knn-details feature gathers by
+        # original id) and per-leaf valid-row counts.
+        self.slots = jnp.asarray(slots, jnp.int32)
+        self.leaf_valid = jnp.asarray(fill, jnp.int32)
+        self.valid_rows = m
+
     def _add_features_to_index(self):
         store = jnp.bfloat16 if self.use_fp16 else jnp.float32
         bank_in = self.feature_memory
         labels = self.label_memory
+        if self.use_tree and (
+            self.mesh is None or self.mesh.shape.get("bank", 1) <= 1
+        ):
+            self.mesh = None
+            self._build_tree(bank_in, labels, store)
+            return
+        if self.use_tree:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "use_tree with a multi-device bank mesh is not supported; "
+                "falling back to the flat approximate scan."
+            )
+            self.use_tree = False
         if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
             from hbird_tpu.parallel.sharded_knn import shard_bank
 
@@ -104,7 +181,46 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
     def device_state(self):
         """Large device arrays as a pytree (jit-argument safe; see
         search_exact.device_state)."""
-        return {"bank": self.bank, "labels": self.labels}
+        state = {"bank": self.bank, "labels": self.labels}
+        if self.use_tree:
+            state.update(
+                centroids=self.centroids,
+                leaf_valid=self.leaf_valid,
+                perm=self.perm,
+                slots=self.slots,
+            )
+        return state
+
+    def state_spec(self, n_rows: int):
+        if not self.use_tree:
+            return super().state_spec(n_rows)
+        # Tree-mode shapes derive from the LAYOUT of an n_rows bank, not
+        # from this instance's arrays (the AOT dummy is built on 2 rows).
+        n_leaves, cap = self._tree_geometry(n_rows)
+        n_slots = n_leaves * cap
+        d = self.bank.shape[1]
+        n_classes = self.labels.shape[1]
+        return {
+            "bank": jax.ShapeDtypeStruct((n_slots, d), self.bank.dtype),
+            "labels": jax.ShapeDtypeStruct((n_slots, n_classes), jnp.float32),
+            "centroids": jax.ShapeDtypeStruct((n_leaves, d), jnp.float32),
+            "leaf_valid": jax.ShapeDtypeStruct((n_leaves,), jnp.int32),
+            "perm": jax.ShapeDtypeStruct((n_slots,), jnp.int32),
+            "slots": jax.ShapeDtypeStruct((n_rows,), jnp.int32),
+        }
+
+    def pin_expected_rows(self, n_rows: int) -> None:
+        super().pin_expected_rows(n_rows)
+        if self.use_tree:
+            # Static kernel geometry (cap) must match the real bank's.
+            self._n_leaves, self._cap = self._tree_geometry(n_rows)
+
+    def gather_features_pure(self, state, idx: jax.Array) -> jax.Array:
+        if not self.use_tree:
+            return super().gather_features_pure(state, idx)
+        # idx is in ORIGINAL row ids; the stored bank is leaf-ordered.
+        return jnp.take(state["bank"], jnp.take(state["slots"], idx, axis=0),
+                        axis=0)
 
     def search_with_labels(self, q: jax.Array, k: Optional[int] = None):
         return self.search_with_labels_pure(self.device_state, q, k)
@@ -113,6 +229,39 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         bank = state["bank"]
         labels = state["labels"]
         k = k or self.n_neighbors
+        if self.use_tree:
+            from hbird_tpu.ops.ivf import ivf_search
+
+            reorder = self.num_reordering_candidates > k
+            # ScaNN reorder(C): one widened probe pass to C candidates,
+            # then exact f32 re-scoring of the stored rows, keep top-k.
+            kk = self.num_reordering_candidates if reorder else k
+            vals, idx_ivf = ivf_search(
+                q.astype(bank.dtype),
+                bank,
+                state["centroids"],
+                state["leaf_valid"],
+                kk,
+                cap=self._cap,
+                n_probe=min(self.num_leaves_to_search, self._n_leaves),
+                block_q=self.query_block,
+            )
+            if reorder:
+                cand = jnp.take(bank, idx_ivf, axis=0).astype(jnp.float32)
+                exact = jnp.einsum(
+                    "qd,qcd->qc", q.astype(jnp.float32), cand
+                )
+                exact = jnp.where(vals > jnp.float32(-1e30), exact,
+                                  jnp.float32(-1e30))
+                vals, sel = jax.lax.top_k(exact, k)
+                idx_ivf = jnp.take_along_axis(idx_ivf, sel, axis=1)
+            out_labels = jnp.take(labels, idx_ivf, axis=0)
+            # Public indices are ORIGINAL row ids (reference semantics).
+            # Padding slots are leaf_valid-masked to -inf, but degenerate
+            # probes (< k valid candidates) can surface them with perm=-1;
+            # clamp to 0 like the exact backend's padded-row convention.
+            idx = jnp.maximum(jnp.take(state["perm"], idx_ivf, axis=0), 0)
+            return vals, idx, out_labels
         # `reorder(C)` semantics (reference search_scann.py:32): grab C
         # approximate candidates, exact-rescore, keep the top k.
         rerank = (

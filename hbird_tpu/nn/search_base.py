@@ -44,6 +44,19 @@ class NearestNeighborSearchBase(ABC):
         """Return (indices, distances) for queries q — numpy, like the
         reference backends (search_faiss.py:83-90)."""
 
+    def pin_expected_rows(self, n_rows: int) -> None:
+        """Re-pin row-count-dependent STATIC config (valid-row masking,
+        tree geometry) to `n_rows`. Used on AOT dummy backends so the
+        traced program matches the real bank's (hbird_eval._start_aot_eval)."""
+        self.valid_rows = int(n_rows)
+
+    def gather_features_pure(self, state, idx):
+        """Gather stored feature rows by ORIGINAL row id from the state
+        pytree (backends with a reordered layout override this)."""
+        import jax.numpy as jnp
+
+        return jnp.take(state["bank"], idx, axis=0)
+
     def state_spec(self, n_rows: int):
         """`jax.ShapeDtypeStruct` pytree of `device_state` as it would look
         with an `n_rows`-row bank (2-D arrays scale with the row count,

@@ -1,0 +1,455 @@
+"""IVF (leaf-partitioned) approximate kNN — ScaNN's tree() on TPU.
+
+The reference's ScaNN backend prunes the scan with a k-means tree:
+`tree(num_leaves=512, num_leaves_to_search=32)` partitions the bank and
+scores only the probed leaves (reference hbird/nn/search_scann.py:26-27).
+The TPU translation here keeps everything static-shaped and MXU-friendly:
+
+- **Spherical k-means** on a row sample trains `num_leaves` centroids
+  (bank rows are unit-norm, so dot == cosine).
+- **Capacity-balanced layout**: every leaf owns EXACTLY `cap` bank slots
+  (one kernel tile). Rows go to their best leaf with free space, else
+  their next choices, else any leaf with room — so the bank reorders into
+  a dense (n_leaves * cap, D) array where leaf i is rows [i*cap, (i+1)*cap)
+  and the first `leaf_valid[i]` of them are real. Fixed capacity is what
+  makes the probed-leaf scan a static-shape Pallas kernel instead of a
+  ragged gather.
+- **Block-level probing**: queries are processed in tiles of `block_q`
+  (patches from the same images are semantically clustered, so a tile
+  shares leaf affinity); each tile scans the union top-`n_probe` leaves
+  by per-tile max centroid score.
+- **Search kernel**: the exact kernel's fused matmul + carry-merge
+  (ops/knn_pallas.py), with the bank tile chosen DYNAMICALLY per grid
+  step via scalar-prefetched leaf ids (PrefetchScalarGridSpec index_map)
+  — the retrieval analogue of block-sparse attention.
+
+Scanned rows per query: n_probe * cap instead of the full bank — a
+(n_leaves / n_probe)x FLOP/HBM reduction at recall governed by n_probe.
+An XLA reference path (gather + einsum + top_k) provides the same math
+for CPU tests and non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hbird_tpu.ops.knn_pallas import NEG_INF, _carry_merge, _round_up
+
+
+# ----------------------------------------------------------------------
+# Build: centroids, balanced assignment, layout
+# ----------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("n_leaves", "iters", "spherical"))
+def train_centroids(
+    sample: jax.Array,
+    n_leaves: int,
+    *,
+    iters: int = 12,
+    key: Optional[jax.Array] = None,
+    spherical: bool = True,
+) -> jax.Array:
+    """Lloyd's k-means on a row sample (MXU assign + segment-sum update).
+
+    spherical=True re-normalizes centroids each iteration (cosine
+    clustering — the right geometry for unit-norm MIPS banks).
+    Empty leaves keep their previous centroid.
+    """
+    sample = sample.astype(jnp.float32)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    s_n = sample.shape[0]
+    init = jax.random.choice(key, s_n, (n_leaves,), replace=s_n < n_leaves)
+    c0 = sample[init]
+
+    def step(c, _):
+        scores = sample @ c.T  # (S, K)
+        a = jnp.argmax(scores, axis=1)
+        sums = jax.ops.segment_sum(sample, a, num_segments=n_leaves)
+        cnt = jax.ops.segment_sum(
+            jnp.ones((s_n,), jnp.float32), a, num_segments=n_leaves
+        )[:, None]
+        newc = jnp.where(cnt > 0, sums / jnp.maximum(cnt, 1.0), c)
+        if spherical:
+            newc = newc / jnp.maximum(
+                jnp.linalg.norm(newc, axis=1, keepdims=True), 1e-12
+            )
+        return newc, None
+
+    c, _ = jax.lax.scan(step, c0, None, length=iters)
+    return c
+
+
+def assign_leaves(
+    bank, centroids: jax.Array, n_choices: int = 3, block_rows: int = 1 << 18
+) -> np.ndarray:
+    """Top-`n_choices` leaf preferences per bank row — (M, A) int32 numpy.
+
+    Blockwise on device (one compiled shape; the tail block is padded).
+    """
+    c_t = centroids.T  # (D, K)
+    a = min(n_choices, centroids.shape[0])
+
+    @jax.jit
+    def block_fn(rows):
+        s = rows.astype(jnp.float32) @ c_t
+        _, ids = jax.lax.top_k(s, a)
+        return ids.astype(jnp.int32)
+
+    m = bank.shape[0]
+    out = np.empty((m, a), np.int32)
+    for i in range(0, m, block_rows):
+        blk = bank[i : i + block_rows]
+        n = blk.shape[0]
+        if n < block_rows:
+            blk = (
+                jnp.pad(blk, ((0, block_rows - n), (0, 0)))
+                if isinstance(blk, jax.Array)
+                else np.pad(np.asarray(blk), ((0, block_rows - n), (0, 0)))
+            )
+        out[i : i + n] = np.asarray(block_fn(jnp.asarray(blk)))[:n]
+    return out
+
+
+def balanced_layout(
+    choices: np.ndarray, n_leaves: int, cap: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Place every row into a leaf slot honoring per-leaf capacity.
+
+    choices: (M, A) per-row leaf preferences (best first).
+    Returns (slots (M,) int64 in [0, n_leaves*cap), leaf_fill (n_leaves,)).
+    Requires n_leaves * cap >= M. Rows that fit none of their choices go
+    to arbitrary leaves with room (they are still found whenever that
+    leaf is probed; the recall effect is measured, not assumed).
+    """
+    m, n_choice = choices.shape
+    assert n_leaves * cap >= m, (n_leaves, cap, m)
+    slot = np.full(m, -1, np.int64)
+    fill = np.zeros(n_leaves, np.int64)
+    unplaced = np.arange(m)
+
+    def place(rows: np.ndarray, leaf: np.ndarray, respect_room: bool):
+        nonlocal unplaced
+        order = np.argsort(leaf, kind="stable")
+        ls = leaf[order]
+        starts = np.searchsorted(ls, np.arange(n_leaves))
+        rank = np.arange(ls.size) - starts[ls]
+        ok = rank < (cap - fill)[ls] if respect_room else np.ones(ls.size, bool)
+        rows_ok = rows[order[ok]]
+        lf = ls[ok]
+        slot[rows_ok] = lf * cap + fill[lf] + rank[ok]
+        fill[:] += np.bincount(lf, minlength=n_leaves)
+        return rows[order[~ok]]
+
+    for a in range(n_choice):
+        if unplaced.size == 0:
+            break
+        unplaced = place(unplaced, choices[unplaced, a], respect_room=True)
+    if unplaced.size:
+        room = (cap - fill).clip(min=0)
+        spill_leaf = np.repeat(np.arange(n_leaves), room)[: unplaced.size]
+        leftover = place(unplaced, spill_leaf, respect_room=False)
+        assert leftover.size == 0
+    return slot, fill
+
+
+def build_ivf_arrays(bank, labels, slots: np.ndarray, n_leaves: int, cap: int):
+    """Scatter rows into the dense leaf layout.
+
+    Returns (ivf_bank (n_leaves*cap, D), ivf_labels or None, perm
+    (n_leaves*cap,) int32 original row id (-1 padding)). Runs on device —
+    padding slots stay zero (never selected: leaf_valid masks them).
+    """
+    m, d = bank.shape
+    n_slots = n_leaves * cap
+    slots_j = jnp.asarray(slots, jnp.int32)
+    bank_j = bank if isinstance(bank, jax.Array) else jnp.asarray(np.asarray(bank))
+    ivf_bank = jnp.zeros((n_slots, d), bank_j.dtype).at[slots_j].set(bank_j)
+    ivf_labels = None
+    if labels is not None:
+        lab_j = (
+            labels
+            if isinstance(labels, jax.Array)
+            else jnp.asarray(np.asarray(labels, np.float32))
+        )
+        ivf_labels = (
+            jnp.zeros((n_slots, lab_j.shape[1]), jnp.float32)
+            .at[slots_j]
+            .set(lab_j.astype(jnp.float32))
+        )
+    perm = (
+        jnp.full((n_slots,), -1, jnp.int32)
+        .at[slots_j]
+        .set(jnp.arange(m, dtype=jnp.int32))
+    )
+    return ivf_bank, ivf_labels, perm
+
+
+def tree_layout(n_rows: int, num_leaves: int, slack: float = 1.3) -> Tuple[int, int]:
+    """(n_leaves, cap) for a bank of n_rows: per-leaf capacity sized with
+    `slack` headroom so the balanced placement rarely spills, rounded up
+    to 256 rows (int8 sublane tiling x8 safety)."""
+    num_leaves = max(1, min(num_leaves, n_rows))
+    cap = _round_up(max(1, int(np.ceil(n_rows * slack / num_leaves))), 256)
+    return num_leaves, cap
+
+
+# ----------------------------------------------------------------------
+# Search: block-level leaf selection + probed-leaf scan
+# ----------------------------------------------------------------------
+def select_block_leaves(
+    q_pad: jax.Array, centroids: jax.Array, n_probe: int, block_q: int
+) -> jax.Array:
+    """Top-`n_probe` leaves per query TILE by the tile's max centroid
+    score — (n_tiles, n_probe) int32. q_pad rows must be a multiple of
+    block_q."""
+    n_leaves = centroids.shape[0]
+    n_probe = min(n_probe, n_leaves)
+    qc = q_pad.astype(jnp.float32) @ centroids.T  # (Q, K)
+    qb = qc.reshape(-1, block_q, n_leaves).max(axis=1)  # (tiles, K)
+    _, ids = jax.lax.top_k(qb, n_probe)
+    return ids.astype(jnp.int32)
+
+
+def coherent_query_order(q: jax.Array, centroids: jax.Array) -> jax.Array:
+    """Stable order grouping queries by their top-1 leaf.
+
+    Block-level probing needs leaf-coherent query tiles. Engine tiles
+    (patches of consecutive images) are naturally coherent; arbitrary
+    query sets are not — sorting by primary leaf restores coherence for
+    one O(Q log Q) argsort. This is the reference analysis' "host-side
+    query grouping" (TODO.md IVF note) done on-device with static shapes.
+    """
+    top1 = jnp.argmax(q.astype(jnp.float32) @ centroids.T, axis=1)
+    return jnp.argsort(top1)
+
+
+def ivf_search(
+    queries: jax.Array,
+    ivf_bank: jax.Array,
+    centroids: jax.Array,
+    leaf_valid: jax.Array,
+    k: int,
+    *,
+    cap: int,
+    n_probe: int,
+    block_q: int = 256,
+    sort_queries: bool = True,
+    kernel: str = "auto",
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full IVF search: (group) -> probe -> scan -> (ungroup).
+
+    Returns (values (Q, k) f32, indices (Q, k) int32 in IVF layout).
+    """
+    q_n = queries.shape[0]
+    order = inv = None
+    if sort_queries:
+        order = coherent_query_order(queries, centroids)
+        inv = jnp.argsort(order)
+        queries = queries[order]
+    q_pad = _round_up(q_n, block_q)
+    if q_pad != q_n:
+        queries = jnp.pad(queries, ((0, q_pad - q_n), (0, 0)))
+    lids = select_block_leaves(queries, centroids, n_probe, block_q)
+    if kernel == "auto":
+        kernel = "pallas"
+    if kernel == "pallas":
+        vals, idx = pallas_ivf_knn(
+            queries, ivf_bank, lids, leaf_valid, k,
+            cap=cap, block_q=block_q, interpret=interpret,
+        )
+    else:
+        vals, idx = ivf_search_xla(
+            queries, ivf_bank, lids, leaf_valid, k, cap=cap
+        )
+    vals, idx = vals[:q_n], idx[:q_n]
+    if inv is not None:
+        vals, idx = vals[inv], idx[inv]
+    return vals, idx
+
+
+def ivf_search_xla(
+    queries: jax.Array,
+    ivf_bank: jax.Array,
+    leaf_ids: jax.Array,
+    leaf_valid: jax.Array,
+    k: int,
+    *,
+    cap: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Reference XLA path: gather the probed leaf slabs, one fused
+    score+top_k per query tile. Same math as the Pallas kernel (f32
+    accumulation, int8 -> int32 -> f32), used on CPU and for parity
+    tests. queries rows must be a multiple of the leaf_ids tile count.
+    """
+    q_n, d = queries.shape
+    tiles, n_probe = leaf_ids.shape
+    block_q = q_n // tiles
+    n_slabs = ivf_bank.shape[0] // cap
+    bank3 = ivf_bank.reshape(n_slabs, cap, d)
+    int8_in = queries.dtype == jnp.int8
+    col_local = jax.lax.broadcasted_iota(jnp.int32, (n_probe, cap), 1)
+
+    def tile_fn(q_t, lids):
+        slabs = bank3[lids].reshape(n_probe * cap, d)  # (L*cap, D)
+        s = jax.lax.dot_general(
+            q_t,
+            slabs,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32 if int8_in else jnp.float32,
+        ).astype(jnp.float32)
+        valid = leaf_valid[lids]  # (L,)
+        mask = (col_local < valid[:, None]).reshape(-1)
+        s = jnp.where(mask[None, :], s, NEG_INF)
+        vals, pos = jax.lax.top_k(s, k)
+        gcols = (lids[:, None] * cap + col_local).reshape(-1)
+        return vals, gcols[pos]
+
+    vals, idx = jax.vmap(tile_fn)(
+        queries.reshape(tiles, block_q, d), leaf_ids
+    )
+    return vals.reshape(q_n, k), idx.reshape(q_n, k)
+
+
+def _ivf_kernel(
+    leaf_ids_ref,  # SMEM (n_tiles, n_probe) int32 — slabs per query tile
+    leaf_valid_ref,  # SMEM (n_slabs,) int32 — real rows per slab
+    q_ref,  # (BLOCK_Q, D)
+    bank_ref,  # (CAP, D) — the slab picked by the index_map
+    vals_out_ref,  # (BLOCK_Q, K_PAD)
+    idx_out_ref,  # (BLOCK_Q, K_PAD)
+    vals_ref,  # scratch (BLOCK_Q, K_PAD) f32
+    idx_ref,  # scratch (BLOCK_Q, K_PAD) i32
+    s_ref,  # scratch (BLOCK_Q, CAP) f32
+    *,
+    k_pad: int,
+    cap: int,
+    n_probe: int,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        vals_ref[...] = jnp.full_like(vals_ref, NEG_INF)
+        idx_ref[...] = jnp.zeros_like(idx_ref)
+
+    slab = leaf_ids_ref[i, j]
+    base = slab * cap
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], cap), 1)
+    int8_inputs = q_ref.dtype == jnp.int8
+    s = jax.lax.dot_general(
+        q_ref[...],
+        bank_ref[...],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32 if int8_inputs else jnp.float32,
+    )
+    if int8_inputs:
+        s = s.astype(jnp.float32)
+    s_ref[...] = jnp.where(col < leaf_valid_ref[slab], s, NEG_INF)
+
+    _carry_merge(s_ref, vals_ref, idx_ref, base=base, k_pad=k_pad)
+
+    @pl.when(j == n_probe - 1)
+    def _store():
+        vals_out_ref[...] = vals_ref[...]
+        idx_out_ref[...] = idx_ref[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "cap", "block_q", "sorted_results", "interpret"),
+)
+def pallas_ivf_knn(
+    queries: jax.Array,
+    ivf_bank: jax.Array,
+    leaf_ids: jax.Array,
+    leaf_valid: jax.Array,
+    k: int,
+    *,
+    cap: int,
+    block_q: int = 256,
+    sorted_results: bool = True,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused probed-leaf top-k: per query tile, scan only the `n_probe`
+    leaf slabs named in `leaf_ids` (dynamic bank tiles via scalar-prefetch
+    index_map) with the exact kernel's matmul + carry merge.
+
+    Args:
+        queries: (Q, D); Q must be a multiple of block_q * leaf_ids rows
+            agreement — i.e. leaf_ids has Q/block_q rows.
+        ivf_bank: (n_slabs*cap, D) leaf-contiguous layout (build_ivf_arrays).
+        leaf_ids: (Q/block_q, n_probe) int32 slab ids per query tile.
+        leaf_valid: (n_slabs,) int32 — real rows in each slab.
+        k: neighbours (<=128).
+    Returns:
+        (values (Q, k) f32, indices (Q, k) int32 — IVF-layout row ids;
+        map to original ids with the layout's perm array.)
+    """
+    q_n, d = queries.shape
+    n_tiles, n_probe = leaf_ids.shape
+    assert q_n == n_tiles * block_q, (q_n, n_tiles, block_q)
+    assert ivf_bank.shape[0] % cap == 0
+    assert k <= 128, "k > 128 not supported by the fused kernel"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_pad = max(8, _round_up(k, 8))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, n_probe),
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j, lids, lvalid: (i, 0)),
+            pl.BlockSpec((cap, d), lambda i, j, lids, lvalid: (lids[i, j], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k_pad), lambda i, j, *_: (i, 0)),
+            pl.BlockSpec((block_q, k_pad), lambda i, j, *_: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, k_pad), jnp.float32),
+            pltpu.VMEM((block_q, k_pad), jnp.int32),
+            pltpu.VMEM((block_q, cap), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _ivf_kernel, k_pad=k_pad, cap=cap, n_probe=n_probe
+    )
+    itemsize = jnp.dtype(queries.dtype).itemsize
+    vmem_bytes = (
+        2 * (block_q + cap) * d * itemsize
+        + 2 * block_q * cap * 4
+        + 4 * block_q * k_pad * 8
+    )
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q_n, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((q_n, k_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=min(int(vmem_bytes * 1.5), 100 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_n * n_probe * cap * d,
+            bytes_accessed=q_n * d * 4 + n_tiles * n_probe * cap * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(leaf_ids, jnp.asarray(leaf_valid, jnp.int32), queries, ivf_bank)
+
+    if sorted_results or k != k_pad:
+        svals, sel = jax.lax.top_k(vals, k)
+        sidx = jnp.take_along_axis(idx, sel, axis=-1)
+        return svals, sidx
+    return vals, idx

@@ -135,6 +135,55 @@ def _bucket_merge_rounds(
     jax.lax.while_loop(round_cond, round_body, jnp.int32(0))
 
 
+def _carry_merge(s_ref, vals_ref, idx_ref, *, base, k_pad):
+    """Single-extraction insertion merge with the tile max CARRIED between
+    iterations: the classic loop re-reads + re-maxes the full tile in the
+    cond AND the body (Mosaic does not CSE across the while boundary);
+    here each extraction costs one tile read and one knockout write, with
+    the next max computed from the already-loaded (knocked-out) value.
+    Measured fastest of the four merge variants on v5e (TODO.md).
+
+    `base` is the global row id of the tile's first column (a traced
+    scalar is fine — the IVF kernel passes slab_id * cap).
+    """
+    q, block_m = s_ref.shape
+    col_l = jax.lax.broadcasted_iota(jnp.int32, (q, block_m), 1)
+    big = jnp.int32(2**30)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+    m0 = jnp.max(s_ref[...], axis=1, keepdims=True)  # (Q, 1)
+
+    def cond(carry):
+        i, cur_max = carry
+        run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)
+        return jnp.logical_and(i < k_pad, jnp.any(cur_max > run_min))
+
+    def body(carry):
+        i, cur_max = carry
+        s_cur = s_ref[...]  # one tile read per extraction
+        run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)
+        better = cur_max > run_min
+        cand_col = jnp.min(
+            jnp.where(s_cur >= cur_max, col_l, big), axis=1, keepdims=True
+        )
+        min_slot = jnp.min(
+            jnp.where(vals_ref[...] <= run_min, slot_ids, big),
+            axis=1, keepdims=True,
+        )
+        do = better & (slot_ids == min_slot)
+        vals_ref[...] = jnp.where(do, cur_max, vals_ref[...])
+        idx_ref[...] = jnp.where(do, cand_col + base, idx_ref[...])
+        knocked = jnp.where(
+            (col_l == cand_col) & better, NEG_INF, s_cur
+        )
+        s_ref[...] = knocked  # one tile write
+        new_max = jnp.max(knocked, axis=1, keepdims=True)  # from value
+        return i + 1, new_max
+
+    @pl.when(jnp.any(m0 > jnp.min(vals_ref[...], axis=1, keepdims=True)))
+    def _merge_carry():
+        jax.lax.while_loop(cond, body, (jnp.int32(0), m0))
+
+
 def _knn_kernel(
     valid_ref,  # SMEM (1,) int32 — number of real bank rows
     q_ref,  # (BLOCK_Q, D)
@@ -241,49 +290,7 @@ def _knn_kernel(
             k_pad=k_pad,
         )
     elif merge_mode == "carry":
-        # Single-extraction merge with the tile max CARRIED between
-        # iterations: the classic loop re-reads + re-maxes the full tile
-        # in the cond AND the body (Mosaic does not CSE across the
-        # while boundary); here each extraction costs one tile read and
-        # one knockout write, with the next max computed from the already
-        # loaded (knocked-out) value.
-        col_l = jax.lax.broadcasted_iota(
-            jnp.int32, (q_ref.shape[0], block_m), 1
-        )
-        big = jnp.int32(2**30)
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
-        m0 = jnp.max(s_ref[...], axis=1, keepdims=True)  # (Q, 1)
-
-        def cond(carry):
-            i, cur_max = carry
-            run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)
-            return jnp.logical_and(i < k_pad, jnp.any(cur_max > run_min))
-
-        def body(carry):
-            i, cur_max = carry
-            s_cur = s_ref[...]  # one tile read per extraction
-            run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)
-            better = cur_max > run_min
-            cand_col = jnp.min(
-                jnp.where(s_cur >= cur_max, col_l, big), axis=1, keepdims=True
-            )
-            min_slot = jnp.min(
-                jnp.where(vals_ref[...] <= run_min, slot_ids, big),
-                axis=1, keepdims=True,
-            )
-            do = better & (slot_ids == min_slot)
-            vals_ref[...] = jnp.where(do, cur_max, vals_ref[...])
-            idx_ref[...] = jnp.where(do, cand_col + base, idx_ref[...])
-            knocked = jnp.where(
-                (col_l == cand_col) & better, NEG_INF, s_cur
-            )
-            s_ref[...] = knocked  # one tile write
-            new_max = jnp.max(knocked, axis=1, keepdims=True)  # from value
-            return i + 1, new_max
-
-        @pl.when(jnp.any(m0 > jnp.min(vals_ref[...], axis=1, keepdims=True)))
-        def _merge_carry():
-            jax.lax.while_loop(cond, body, (jnp.int32(0), m0))
+        _carry_merge(s_ref, vals_ref, idx_ref, base=base, k_pad=k_pad)
     elif merge_mode == "carry2":
         # carry variant extracting TWO candidates per tile read/write:
         # amortizes the expensive full-tile load + store over 2 insertions.
