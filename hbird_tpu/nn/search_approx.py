@@ -48,6 +48,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         recall_target: Optional[float] = None,
         use_fp16: bool = True,
         use_tree: bool = False,
+        tree_slack: float = 1.3,
         tree_sample_rows: int = 131072,
         kmeans_iters: int = 12,
         mesh=None,
@@ -74,6 +75,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         # warning). Default off: the PartialReduce full-scan path is
         # faster below ~4M rows (scripts/bench_backends.py).
         self.use_tree = bool(use_tree) and distance_measure == "dot_product"
+        self.tree_slack = float(tree_slack)
         self.tree_sample_rows = int(tree_sample_rows)
         self.kmeans_iters = int(kmeans_iters)
         self.seed = int(seed)
@@ -91,7 +93,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
     def _tree_geometry(self, n_rows: int):
         from hbird_tpu.ops.ivf import tree_layout
 
-        return tree_layout(n_rows, self.num_leaves)
+        return tree_layout(n_rows, self.num_leaves, slack=self.tree_slack)
 
     def _build_tree(self, bank_in, labels, store):
         """Leaf-partition the bank: train centroids, balance rows into
