@@ -48,6 +48,8 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         recall_target: Optional[float] = None,
         use_fp16: bool = True,
         use_tree: bool = False,
+        use_int8: bool = False,
+        bank_scale: Optional[float] = None,
         tree_slack: float = 1.3,
         tree_sample_rows: int = 131072,
         kmeans_iters: int = 12,
@@ -75,6 +77,13 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         # warning). Default off: the PartialReduce full-scan path is
         # faster below ~4M rows (scripts/bench_backends.py).
         self.use_tree = bool(use_tree) and distance_measure == "dot_product"
+        # int8 leaf scan (tree mode only): global-scale symmetric
+        # quantization, same scheme as the exact backend's use_int8. Pass
+        # `bank_scale` when injecting a pre-quantized int8 bank.
+        self.use_int8 = bool(use_int8) and self.use_tree
+        self._bank_scale = (
+            jnp.float32(bank_scale) if bank_scale is not None else None
+        )
         self.tree_slack = float(tree_slack)
         self.tree_sample_rows = int(tree_sample_rows)
         self.kmeans_iters = int(kmeans_iters)
@@ -105,13 +114,35 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             train_centroids,
         )
 
-        # Store dtype straight away — a full f32 copy of a multi-GB bank
-        # would double HBM (and kill the 10M-row single-chip path).
-        bank_s = (
-            bank_in.astype(store)
-            if isinstance(bank_in, jax.Array)
-            else jnp.asarray(np.asarray(bank_in, np.float32), store)
-        )
+        if self.use_int8:
+            store = jnp.int8
+            if isinstance(bank_in, jax.Array) and bank_in.dtype == jnp.int8:
+                # Pre-quantized injection: bank_scale must be provided.
+                assert self._bank_scale is not None, (
+                    "int8 bank injection requires bank_scale"
+                )
+                bank_s = bank_in
+            else:
+                bank_f = (
+                    bank_in.astype(jnp.float32)
+                    if isinstance(bank_in, jax.Array)
+                    else jnp.asarray(np.asarray(bank_in, np.float32))
+                )
+                self._bank_scale = (
+                    jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
+                )
+                bank_s = jnp.clip(
+                    jnp.round(bank_f / self._bank_scale), -127, 127
+                ).astype(jnp.int8)
+                del bank_f
+        else:
+            # Store dtype straight away — a full f32 copy of a multi-GB
+            # bank would double HBM (and kill large single-chip paths).
+            bank_s = (
+                bank_in.astype(store)
+                if isinstance(bank_in, jax.Array)
+                else jnp.asarray(np.asarray(bank_in, np.float32), store)
+            )
         m = bank_s.shape[0]
         n_leaves, cap = self._tree_geometry(m)
         self._n_leaves, self._cap = n_leaves, cap
@@ -191,6 +222,8 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 perm=self.perm,
                 slots=self.slots,
             )
+            if self.use_int8:
+                state["bank_scale"] = self._bank_scale
         return state
 
     def state_spec(self, n_rows: int):
@@ -202,7 +235,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         n_slots = n_leaves * cap
         d = self.bank.shape[1]
         n_classes = self.labels.shape[1]
-        return {
+        spec = {
             "bank": jax.ShapeDtypeStruct((n_slots, d), self.bank.dtype),
             "labels": jax.ShapeDtypeStruct((n_slots, n_classes), jnp.float32),
             "centroids": jax.ShapeDtypeStruct((n_leaves, d), jnp.float32),
@@ -210,6 +243,9 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             "perm": jax.ShapeDtypeStruct((n_slots,), jnp.int32),
             "slots": jax.ShapeDtypeStruct((n_rows,), jnp.int32),
         }
+        if self.use_int8:
+            spec["bank_scale"] = jax.ShapeDtypeStruct((), jnp.float32)
+        return spec
 
     def pin_expected_rows(self, n_rows: int) -> None:
         super().pin_expected_rows(n_rows)
@@ -234,12 +270,22 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         if self.use_tree:
             from hbird_tpu.ops.ivf import ivf_search
 
-            reorder = self.num_reordering_candidates > k
+            # reorder with int8 is a no-op (re-scoring from the same int8
+            # rows preserves the quantized ordering), so skip the pass.
+            reorder = self.num_reordering_candidates > k and not self.use_int8
             # ScaNN reorder(C): one widened probe pass to C candidates,
             # then exact f32 re-scoring of the stored rows, keep top-k.
             kk = self.num_reordering_candidates if reorder else k
+            if self.use_int8:
+                q32 = q.astype(jnp.float32)
+                q_scale = jnp.maximum(jnp.abs(q32).max(), 1e-12) / 127.0
+                q_cast = jnp.clip(
+                    jnp.round(q32 / q_scale), -127, 127
+                ).astype(jnp.int8)
+            else:
+                q_cast = q.astype(bank.dtype)
             vals, idx_ivf = ivf_search(
-                q.astype(bank.dtype),
+                q_cast,
                 bank,
                 state["centroids"],
                 state["leaf_valid"],
@@ -248,6 +294,10 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 n_probe=min(self.num_leaves_to_search, self._n_leaves),
                 block_q=self.query_block,
             )
+            if self.use_int8:
+                # int32 scores -> approximate dot products (calibrated for
+                # the downstream cross-attention temperature).
+                vals = vals * (state["bank_scale"] * q_scale)
             if reorder:
                 cand = jnp.take(bank, idx_ivf, axis=0).astype(jnp.float32)
                 exact = jnp.einsum(

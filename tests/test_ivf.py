@@ -322,6 +322,43 @@ class TestBackend:
         vals, idx, _ = nn.search_with_labels(self.q, 10)
         assert np.asarray(idx).shape == (300, 10)
 
+    def test_int8_tree_backend(self):
+        nn8 = self._mk(use_int8=True)
+        vals8, idx8, labs8 = nn8.search_with_labels(self.q, 10)
+        nnf = self._mk()
+        valsf, idxf, _ = nnf.search_with_labels(self.q, 10)
+        # quantized ordering tracks the bf16 ordering closely
+        overlap = np.mean([
+            len(set(np.asarray(idx8)[i]) & set(np.asarray(idxf)[i])) / 10
+            for i in range(idx8.shape[0])
+        ])
+        assert overlap > 0.85, overlap
+        # rescaled scores approximate true dot products
+        true = np.take_along_axis(
+            np.asarray(self.q) @ self.x.T, np.asarray(idx8), axis=1
+        )
+        np.testing.assert_allclose(np.asarray(vals8), true, atol=0.05)
+
+    def test_int8_injection_requires_scale(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        scale = float(np.abs(self.x).max() / 127.0)
+        bank8 = jnp.asarray(
+            np.clip(np.round(self.x / scale), -127, 127).astype(np.int8)
+        )
+        with pytest.raises(AssertionError):
+            NearestNeighborSearchApprox(
+                bank8, n_neighbors=10, use_tree=True, use_int8=True,
+                num_leaves=10, num_leaves_to_search=5, query_block=64,
+                label_memory=jnp.asarray(self.labels),
+            )
+        nn = NearestNeighborSearchApprox(
+            bank8, n_neighbors=10, use_tree=True, use_int8=True,
+            bank_scale=scale, num_leaves=10, num_leaves_to_search=5,
+            query_block=64, label_memory=jnp.asarray(self.labels),
+        )
+        vals, idx, _ = nn.search_with_labels(self.q, 10)
+        assert (np.asarray(idx) >= 0).all()
 
 class TestEngineIVF:
     def test_engine_ivf_matches_exact(self, tmp_path):
@@ -371,3 +408,4 @@ class TestEngineIVF:
         m_ivf = run("ivf", dict(num_leaves=4, num_leaves_to_search=4,
                                 query_block=64))
         assert abs(m_ivf - m_exact) < 0.02, (m_ivf, m_exact)
+
