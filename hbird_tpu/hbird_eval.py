@@ -122,10 +122,11 @@ class HbirdEvaluation:
         n_neighbours: k (default 30).
         augmentation_epoch: memory-build passes over the train loader.
         device: accepted for API parity; placement is managed by JAX.
-        nn_method: 'faiss'/'exact' (exact flat) or 'scann'/'approx'
-            (default 'scann', matching the reference signature — the approx
-            backend's default reorder(120) re-ranks exactly, so defaults
-            give near-exact results).
+        nn_method: 'faiss'/'exact' (exact flat), 'scann'/'approx'
+            (default 'scann', matching the reference signature), or
+            'ivf'/'tree' (leaf-partitioned scan — ScaNN tree() semantics;
+            fastest at multi-million-row banks, recall set by
+            num_leaves_to_search).
         nn_params: extra backend kwargs (use_fp16, idx_shard, recall_target,
             num_leaves, ... — see hbird_tpu/nn/).
         memory_size: bank row cap; enables per-image rarity sampling.

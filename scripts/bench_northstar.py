@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--num-classes", type=int, default=21)
     ap.add_argument("--k", type=int, default=30)
     ap.add_argument("--no-int8", action="store_true")
+    ap.add_argument("--nn-method", default="exact", choices=["exact", "ivf"],
+                    help="ivf = leaf-partitioned tree scan at scale "
+                         "(requires int8; tree built on-device from the "
+                         "injected bank)")
+    ap.add_argument("--num-leaves", type=int, default=512)
+    ap.add_argument("--n-probe", type=int, default=32)
+    ap.add_argument("--tree-slack", type=float, default=1.15)
     args = ap.parse_args()
 
     from hbird_tpu import HbirdEvaluation
@@ -59,11 +66,21 @@ def main():
                              dtype=np.uint8)
     tiny_masks = rng.integers(0, args.num_classes,
                               (2, 1, args.input_size, args.input_size)).astype(np.uint8)
+    use_int8 = not args.no_int8
+    scale = 0.2 / 127.0
+    if args.nn_method == "ivf":
+        assert use_int8, "the ivf north-star variant is int8-only"
+        nn_params = dict(
+            use_int8=True, bank_scale=scale, num_leaves=args.num_leaves,
+            num_leaves_to_search=args.n_probe, tree_slack=args.tree_slack,
+        )
+    else:
+        nn_params = {} if args.no_int8 else {"use_int8": True}
     t0 = time.time()
     ev = HbirdEvaluation(
         fe, [(tiny_imgs, tiny_masks)], num_classes=args.num_classes,
-        n_neighbours=args.k, nn_method="exact",
-        nn_params={} if args.no_int8 else {"use_int8": True},
+        n_neighbours=args.k, nn_method=args.nn_method,
+        nn_params=nn_params,
         bf16_bank=True,
         # Pre-compile the eval step against the INJECTED bank's shape so
         # the Mosaic compile overlaps the slab-wise bank build below.
@@ -83,8 +100,6 @@ def main():
     # would be 31 GB), so build it int8 directly, slab by slab, with a
     # fixed global scale (unit-norm rows: |component| <~ 0.2) — exactly
     # the backend's global-scale symmetric scheme.
-    use_int8 = not args.no_int8
-    scale = 0.2 / 127.0
     key = jax.random.PRNGKey(1)
     # Small slabs: the f32 generation temps (normal + unit-norm division)
     # cost ~2 x slab x d x 4B on top of the growing int8 bank.
@@ -123,18 +138,32 @@ def main():
 
     # Install the pre-quantized bank directly into the backend (its own
     # int8 path quantizes FROM f32, which cannot exist at this scale).
-    nn = ev.NN_algorithm
-    nn.bank = bank
-    nn.labels = labels
-    nn.valid_rows = args.bank_rows
-    nn.rerank_bank = None
-    if use_int8:
-        nn._bank_scale = jnp.float32(scale)
+    if args.nn_method == "ivf":
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        # Rebuild the tree backend from the injected int8 bank: k-means,
+        # assignment and the leaf scatter all run on-device.
+        nn = NearestNeighborSearchApprox(
+            bank, n_neighbors=args.k, label_memory=labels,
+            use_tree=True, **nn_params,
+        )
+        ev.NN_algorithm = nn
+        extra = (f"; tree {nn._n_leaves} leaves x cap {nn._cap} "
+                 f"(+{nn.bank.nbytes/1e9:.1f} GB ivf layout)")
+    else:
+        nn = ev.NN_algorithm
+        nn.bank = bank
+        nn.labels = labels
+        nn.valid_rows = args.bank_rows
+        nn.rerank_bank = None
+        if use_int8:
+            nn._bank_scale = jnp.float32(scale)
+        extra = ""
     ev.feature_memory = bank
     ev.label_memory = labels
     jax.block_until_ready(nn.bank)
     print(f"bank + index ready ({time.time()-t0:.1f}s, "
-          f"{bank.nbytes/1e9:.1f} GB on chip)", flush=True)
+          f"{bank.nbytes/1e9:.1f} GB on chip{extra})", flush=True)
 
     def val_loader():
         r = np.random.default_rng(3)
