@@ -81,6 +81,33 @@ def main() -> None:
         "pallas bf16",
         lambda: pallas_knn(q_bf16, bank_bf16, k, block_q=256, block_m=8192),
     )
+    # Diagnostic: the leaf-partitioned IVF backend (nn_method='ivf') on a
+    # clustered rearrangement of the same bank scale.
+    try:
+        from hbird_tpu.ops.ivf import (
+            assign_leaves, balanced_layout, build_ivf_arrays, ivf_search,
+            train_centroids, tree_layout,
+        )
+
+        n_leaves, cap = tree_layout(m_rows, 512)
+        cent = train_centroids(
+            bank_bf16[:131072].astype(jnp.float32), n_leaves, iters=8
+        )
+        choices = assign_leaves(bank_bf16, cent, n_choices=3)
+        slots, fill = balanced_layout(choices, n_leaves, cap)
+        ivf_bank, _, _ = build_ivf_arrays(bank_bf16, None, slots, n_leaves, cap)
+        leaf_valid = jnp.asarray(fill, jnp.int32)
+
+        def ivf_fn():
+            return ivf_search(
+                q_bf16, ivf_bank, cent, leaf_valid, k, cap=cap, n_probe=32
+            )
+
+        results["ivf_bf16"] = timeit("ivf bf16 L=32/512", ivf_fn)
+        del ivf_bank
+    except Exception as e:
+        log(f"[ivf bf16] skipped: {e}")
+
     # Diagnostic: the XLA blockwise fallback.
     try:
         results["xla_bf16"] = timeit(
