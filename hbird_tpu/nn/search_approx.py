@@ -155,8 +155,11 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             sample, n_leaves, iters=self.kmeans_iters,
             key=jax.random.PRNGKey(self.seed),
         )
-        choices = assign_leaves(bank_s, self.centroids, n_choices=3)
-        slots, fill = balanced_layout(choices, n_leaves, cap)
+        choices, ch_scores = assign_leaves(
+            bank_s, self.centroids, n_choices=3, return_scores=True
+        )
+        slots, fill = balanced_layout(choices, n_leaves, cap,
+                                      scores=ch_scores)
         if labels is None:
             labels = jnp.zeros((m, 1), jnp.float32)
         self.bank, self.labels, self.perm = build_ivf_arrays(

@@ -87,9 +87,14 @@ def train_centroids(
 
 
 def assign_leaves(
-    bank, centroids: jax.Array, n_choices: int = 3, block_rows: int = 1 << 18
-) -> np.ndarray:
-    """Top-`n_choices` leaf preferences per bank row — (M, A) int32 numpy.
+    bank,
+    centroids: jax.Array,
+    n_choices: int = 3,
+    block_rows: int = 1 << 18,
+    return_scores: bool = False,
+):
+    """Top-`n_choices` leaf preferences per bank row — (M, A) int32 numpy
+    (+ the matching (M, A) f32 centroid scores when `return_scores`).
 
     Blockwise on device (one compiled shape; the tail block is padded).
     """
@@ -104,16 +109,19 @@ def assign_leaves(
         # same sort bottleneck as the XLA kNN path); 3 argmax passes are
         # pure VPU reductions.
         ids = []
+        tops = []
         for _ in range(a):
             top = jnp.argmax(s, axis=1)
             ids.append(top.astype(jnp.int32))
+            tops.append(jnp.max(s, axis=1))
             s = jnp.where(
                 jax.nn.one_hot(top, s.shape[1], dtype=bool), NEG_INF, s
             )
-        return jnp.stack(ids, axis=1)
+        return jnp.stack(ids, axis=1), jnp.stack(tops, axis=1)
 
     m = bank.shape[0]
     out = np.empty((m, a), np.int32)
+    sc = np.empty((m, a), np.float32)
     for i in range(0, m, block_rows):
         blk = bank[i : i + block_rows]
         n = blk.shape[0]
@@ -123,16 +131,25 @@ def assign_leaves(
                 if isinstance(blk, jax.Array)
                 else np.pad(np.asarray(blk), ((0, block_rows - n), (0, 0)))
             )
-        out[i : i + n] = np.asarray(block_fn(jnp.asarray(blk)))[:n]
-    return out
+        ids_b, sc_b = block_fn(jnp.asarray(blk))
+        out[i : i + n] = np.asarray(ids_b)[:n]
+        sc[i : i + n] = np.asarray(sc_b)[:n]
+    return (out, sc) if return_scores else out
 
 
 def balanced_layout(
-    choices: np.ndarray, n_leaves: int, cap: int
+    choices: np.ndarray,
+    n_leaves: int,
+    cap: int,
+    scores: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Place every row into a leaf slot honoring per-leaf capacity.
 
     choices: (M, A) per-row leaf preferences (best first).
+    scores: optional (M, A) centroid scores. When given, an overfull leaf
+        keeps its HIGHEST-scoring members and spills its weakest — the
+        spilled rows are exactly those whose next choice is nearly as
+        good, so the recall cost of capacity pressure is minimized.
     Returns (slots (M,) int64 in [0, n_leaves*cap), leaf_fill (n_leaves,)).
     Requires n_leaves * cap >= M. Rows that fit none of their choices go
     to arbitrary leaves with room (they are still found whenever that
@@ -144,9 +161,13 @@ def balanced_layout(
     fill = np.zeros(n_leaves, np.int64)
     unplaced = np.arange(m)
 
-    def place(rows: np.ndarray, leaf: np.ndarray, respect_room: bool):
+    def place(rows: np.ndarray, leaf: np.ndarray, respect_room: bool,
+              prio: Optional[np.ndarray] = None):
         nonlocal unplaced
-        order = np.argsort(leaf, kind="stable")
+        if prio is not None:
+            order = np.lexsort((-prio, leaf))  # by leaf, strongest first
+        else:
+            order = np.argsort(leaf, kind="stable")
         ls = leaf[order]
         starts = np.searchsorted(ls, np.arange(n_leaves))
         rank = np.arange(ls.size) - starts[ls]
@@ -160,7 +181,12 @@ def balanced_layout(
     for a in range(n_choice):
         if unplaced.size == 0:
             break
-        unplaced = place(unplaced, choices[unplaced, a], respect_room=True)
+        unplaced = place(
+            unplaced,
+            choices[unplaced, a],
+            respect_room=True,
+            prio=scores[unplaced, a] if scores is not None else None,
+        )
     if unplaced.size:
         room = (cap - fill).clip(min=0)
         spill_leaf = np.repeat(np.arange(n_leaves), room)[: unplaced.size]

@@ -409,3 +409,31 @@ class TestEngineIVF:
                                 query_block=64))
         assert abs(m_ivf - m_exact) < 0.02, (m_ivf, m_exact)
 
+
+
+class TestPriorityPlacement:
+    def test_overfull_leaf_keeps_strongest(self):
+        # 300 rows prefer leaf 0 (cap 256) with rising scores; the 44
+        # weakest must be the ones spilled to their second choice.
+        choices = np.zeros((300, 2), np.int32)
+        choices[:, 1] = 1
+        scores = np.stack(
+            [np.arange(300, dtype=np.float32),
+             np.zeros(300, np.float32)], axis=1,
+        )
+        slots, fill = balanced_layout(choices, 2, 256, scores=scores)
+        leaf = slots // 256
+        assert fill[0] == 256 and fill[1] == 44
+        assert (leaf[:44] == 1).all()      # weakest 44 spilled
+        assert (leaf[44:] == 0).all()      # strongest 256 kept
+
+    def test_assign_scores_match_choices(self):
+        x, _ = mixture_bank(2000, 16, 4, seed=9)
+        c = train_centroids(jnp.asarray(x), 4, iters=8)
+        ids, sc = assign_leaves(jnp.asarray(x), c, n_choices=2,
+                                return_scores=True)
+        full = x @ np.asarray(c).T
+        np.testing.assert_allclose(
+            sc, np.take_along_axis(full, ids, axis=1), atol=1e-5
+        )
+        assert (sc[:, 0] >= sc[:, 1]).all()
