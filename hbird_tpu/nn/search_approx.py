@@ -102,7 +102,14 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
     def _tree_geometry(self, n_rows: int):
         from hbird_tpu.ops.ivf import tree_layout
 
-        return tree_layout(n_rows, self.num_leaves, slack=self.tree_slack)
+        n_leaves, cap = tree_layout(
+            n_rows, self.num_leaves, slack=self.tree_slack
+        )
+        p = self.mesh.shape.get("bank", 1) if self.mesh is not None else 1
+        if p > 1:
+            # Slab boundaries must align with shard boundaries.
+            n_leaves = ((n_leaves + p - 1) // p) * p
+        return n_leaves, cap
 
     def _build_tree(self, bank_in, labels, store):
         """Leaf-partition the bank: train centroids, balance rows into
@@ -175,20 +182,24 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         store = jnp.bfloat16 if self.use_fp16 else jnp.float32
         bank_in = self.feature_memory
         labels = self.label_memory
-        if self.use_tree and (
-            self.mesh is None or self.mesh.shape.get("bank", 1) <= 1
-        ):
-            self.mesh = None
-            self._build_tree(bank_in, labels, store)
-            return
         if self.use_tree:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "use_tree with a multi-device bank mesh is not supported; "
-                "falling back to the flat approximate scan."
+            meshed = (
+                self.mesh is not None and self.mesh.shape.get("bank", 1) > 1
             )
-            self.use_tree = False
+            if not meshed:
+                self.mesh = None
+            self._build_tree(bank_in, labels, store)
+            if meshed:
+                # Leaf slabs shard over the bank axis (tree + IndexShards;
+                # parallel/sharded_ivf.py). The layout itself is built on
+                # the default device then re-placed — fine up to one
+                # device's HBM; a distributed build is future work.
+                from hbird_tpu.parallel.sharded_ivf import shard_ivf_state
+
+                self.bank, self.labels = shard_ivf_state(
+                    self.bank, self.labels, self.mesh
+                )
+            return
         if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
             from hbird_tpu.parallel.sharded_knn import shard_bank
 
@@ -287,6 +298,26 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 ).astype(jnp.int8)
             else:
                 q_cast = q.astype(bank.dtype)
+            if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
+                from hbird_tpu.parallel.sharded_ivf import (
+                    sharded_ivf_knn_with_labels,
+                )
+
+                # Meshed tree: merged labels come out of the shard_map
+                # (masked psum), and reorder is not supported.
+                vals, idx_ivf, out_labels = sharded_ivf_knn_with_labels(
+                    q_cast, bank, labels, state["centroids"],
+                    state["leaf_valid"], k,
+                    mesh=self.mesh, cap=self._cap,
+                    n_probe=min(self.num_leaves_to_search, self._n_leaves),
+                    block_q=self.query_block,
+                )
+                if self.use_int8:
+                    vals = vals * (state["bank_scale"] * q_scale)
+                idx = jnp.maximum(
+                    jnp.take(state["perm"], idx_ivf, axis=0), 0
+                )
+                return vals, idx, out_labels
             vals, idx_ivf = ivf_search(
                 q_cast,
                 bank,

@@ -313,15 +313,6 @@ class TestBackend:
             assert tuple(spec[key].shape) == tuple(real[key].shape), key
             assert spec[key].dtype == real[key].dtype, key
 
-    def test_mesh_falls_back_to_flat(self):
-        from hbird_tpu.parallel import make_mesh
-
-        mesh = make_mesh((4,), ("bank",))
-        nn = self._mk(mesh=mesh)
-        assert nn.use_tree is False  # warned + fell back
-        vals, idx, _ = nn.search_with_labels(self.q, 10)
-        assert np.asarray(idx).shape == (300, 10)
-
     def test_int8_tree_backend(self):
         nn8 = self._mk(use_int8=True)
         vals8, idx8, labs8 = nn8.search_with_labels(self.q, 10)
@@ -359,6 +350,60 @@ class TestBackend:
         )
         vals, idx, _ = nn.search_with_labels(self.q, 10)
         assert (np.asarray(idx) >= 0).all()
+
+    def test_meshed_tree_search(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+        from hbird_tpu.parallel import make_mesh
+
+        mesh = make_mesh((4,), ("bank",))
+        nn = NearestNeighborSearchApprox(
+            self.x, n_neighbors=10, label_memory=jnp.asarray(self.labels),
+            use_tree=True, mesh=mesh, num_leaves=12, num_leaves_to_search=6,
+            query_block=64,
+        )
+        assert nn.use_tree and nn._n_leaves % 4 == 0
+        vals, idx, labs = nn.search_with_labels(self.q, 10)
+        idx = np.asarray(idx)
+        assert (idx >= 0).all() and (idx < len(self.x)).all()
+        # labels merged by masked psum == labels of the returned rows
+        np.testing.assert_allclose(
+            np.asarray(labs), self.labels[idx], atol=1e-6
+        )
+        exact = np.asarray(self.q) @ self.x.T
+        exact_idx = np.argsort(-exact, axis=1)[:, :10]
+        recall = np.mean([
+            len(set(idx[i]) & set(exact_idx[i])) / 10 for i in range(len(idx))
+        ])
+        assert recall > 0.85, recall
+
+    def test_meshed_vs_unmeshed_values_sane(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+        from hbird_tpu.parallel import make_mesh
+
+        mesh = make_mesh((4,), ("bank",))
+        kw = dict(n_neighbors=10, use_tree=True, num_leaves=12,
+                  num_leaves_to_search=6, query_block=64,
+                  label_memory=jnp.asarray(self.labels))
+        nn_m = NearestNeighborSearchApprox(self.x, mesh=mesh, **kw)
+        nn_1 = NearestNeighborSearchApprox(self.x, **kw)
+        _, i_m, _ = nn_m.search_with_labels(self.q, 10)
+        _, i_1, _ = nn_1.search_with_labels(self.q, 10)
+        # The shortlists differ (global top-6 vs per-shard top-2 x 4),
+        # so compare what matters: recall against the exact oracle. The
+        # forced per-shard spread probes 8 leaves for the same budget,
+        # so the meshed path must not trail the single-device one.
+        exact = np.asarray(self.q) @ self.x.T
+        exact_idx = np.argsort(-exact, axis=1)[:, :10]
+
+        def recall(idx):
+            idx = np.asarray(idx)
+            return np.mean([
+                len(set(idx[i]) & set(exact_idx[i])) / 10
+                for i in range(len(idx))
+            ])
+
+        assert recall(i_m) >= recall(i_1) - 0.02, (recall(i_m), recall(i_1))
+
 
 class TestEngineIVF:
     def test_engine_ivf_matches_exact(self, tmp_path):
