@@ -102,3 +102,14 @@ def test_aot_int8_rerank_backend(voc_root):
     m_jit, _ = _run(voc_root, None, nn_params=dict(params))
     assert getattr(ev_aot, "_aot_used", False), "AOT executable was not used"
     assert np.isclose(m_aot, m_jit, atol=1e-7), (m_aot, m_jit)
+
+
+def test_aot_ivf_tree_backend(voc_root):
+    # Tree-mode state specs derive from layout geometry, not the dummy's
+    # arrays — the engine must still hit the AOT executable.
+    spec = dict(batch_size=4, input_size=INPUT, ignore_index=255)
+    params = dict(num_leaves=4, num_leaves_to_search=4, query_block=64)
+    m_aot, ev = _run(voc_root, spec, nn_method="ivf", nn_params=dict(params))
+    m_jit, _ = _run(voc_root, None, nn_method="ivf", nn_params=dict(params))
+    assert getattr(ev, "_aot_used", False), "AOT executable was not used"
+    assert np.isclose(m_aot, m_jit, atol=1e-7), (m_aot, m_jit)
