@@ -623,6 +623,10 @@ class HbirdEvaluation:
 
         th = threading.Thread(target=work, name="hbird-aot-eval", daemon=True)
         th.start()
+        # Kept beyond _take_aot_step so evaluate() can join before the
+        # process can exit: killing an in-flight remote Mosaic compile
+        # wedges the TPU tunnel for minutes (CLAUDE.md).
+        self._aot_thread = th
         self._aot = {
             "thread": th,
             "holder": holder,
@@ -861,6 +865,13 @@ class HbirdEvaluation:
 
         eval_trace.__exit__(None, None, None)
         eval_phase.__exit__(None, None, None)
+        # An unused AOT compile (aval mismatch) may still be in flight;
+        # wait it out rather than letting the process exit mid-compile
+        # (which wedges the remote TPU tunnel).
+        th = getattr(self, "_aot_thread", None)
+        if th is not None and th.is_alive():
+            logger.info("Waiting for the unused AOT compile to finish...")
+            th.join()
         self.timer.add_items("evaluate", n_imgs)
         dt = time.time() - t0
         logger.info(

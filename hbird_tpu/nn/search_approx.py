@@ -51,6 +51,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         use_int8: bool = False,
         bank_scale: Optional[float] = None,
         tree_slack: float = 1.3,
+        tree_refine_rounds: int = 2,
         tree_sample_rows: int = 131072,
         kmeans_iters: int = 12,
         mesh=None,
@@ -72,11 +73,20 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         self.use_fp16 = use_fp16
         # use_tree=True: REAL tree(num_leaves, num_leaves_to_search)
         # semantics (reference search_scann.py:26-27) — k-means leaves,
-        # capacity-balanced leaf layout, probed-leaf scan (ops/ivf.py).
-        # Requires dot_product and no bank mesh (falls back with a
-        # warning). Default off: the PartialReduce full-scan path is
-        # faster below ~4M rows (scripts/bench_backends.py).
+        # capacity-balanced leaf layout, probed-leaf scan (ops/ivf.py);
+        # with a bank mesh the leaf slabs shard across it
+        # (parallel/sharded_ivf.py). Requires dot_product. Default off:
+        # the exact/PartialReduce full scans win below ~1M rows; the tree
+        # wins 2.8-3.5x at 1M-4M+ when recall ~0.95 is acceptable.
         self.use_tree = bool(use_tree) and distance_measure == "dot_product"
+        if use_tree and not self.use_tree:
+            from hbird_tpu.utils.logging import get_logger
+
+            get_logger(__name__).warning(
+                "use_tree requires dot_product scoring; falling back to "
+                "the flat approximate scan (num_leaves/num_leaves_to_search "
+                "map onto a recall target instead)."
+            )
         # int8 leaf scan (tree mode only): global-scale symmetric
         # quantization, same scheme as the exact backend's use_int8. Pass
         # `bank_scale` when injecting a pre-quantized int8 bank.
@@ -85,6 +95,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             jnp.float32(bank_scale) if bank_scale is not None else None
         )
         self.tree_slack = float(tree_slack)
+        self.tree_refine_rounds = int(tree_refine_rounds)
         self.tree_sample_rows = int(tree_sample_rows)
         self.kmeans_iters = int(kmeans_iters)
         self.seed = int(seed)
@@ -162,6 +173,13 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             sample, n_leaves, iters=self.kmeans_iters,
             key=jax.random.PRNGKey(self.seed),
         )
+        if self.tree_refine_rounds > 0:
+            from hbird_tpu.ops.ivf import refine_centroids_balanced
+
+            self.centroids = refine_centroids_balanced(
+                sample, self.centroids, slack=self.tree_slack,
+                rounds=self.tree_refine_rounds,
+            )
         choices, ch_scores = assign_leaves(
             bank_s, self.centroids, n_choices=3, return_scores=True
         )
@@ -194,6 +212,14 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 # parallel/sharded_ivf.py). The layout itself is built on
                 # the default device then re-placed — fine up to one
                 # device's HBM; a distributed build is future work.
+                if self.num_reordering_candidates > self.n_neighbors:
+                    from hbird_tpu.utils.logging import get_logger
+
+                    get_logger(__name__).warning(
+                        "num_reordering_candidates is not supported with a "
+                        "leaf-sharded tree; returned scores are the "
+                        "first-pass scan scores."
+                    )
                 from hbird_tpu.parallel.sharded_ivf import shard_ivf_state
 
                 self.bank, self.labels = shard_ivf_state(
@@ -271,8 +297,12 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         if not self.use_tree:
             return super().gather_features_pure(state, idx)
         # idx is in ORIGINAL row ids; the stored bank is leaf-ordered.
-        return jnp.take(state["bank"], jnp.take(state["slots"], idx, axis=0),
-                        axis=0)
+        rows = jnp.take(
+            state["bank"], jnp.take(state["slots"], idx, axis=0), axis=0
+        )
+        if rows.dtype == jnp.int8 and "bank_scale" in state:
+            rows = rows.astype(jnp.float32) * state["bank_scale"]
+        return rows
 
     def search_with_labels(self, q: jax.Array, k: Optional[int] = None):
         return self.search_with_labels_pure(self.device_state, q, k)
@@ -333,14 +363,14 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 # the downstream cross-attention temperature).
                 vals = vals * (state["bank_scale"] * q_scale)
             if reorder:
-                cand = jnp.take(bank, idx_ivf, axis=0).astype(jnp.float32)
-                exact = jnp.einsum(
-                    "qd,qcd->qc", q.astype(jnp.float32), cand
+                from hbird_tpu.ops.knn import rerank_exact
+
+                # Streamed over query blocks — a one-shot (Q, C, D)
+                # gather would cost ~8 GB at engine batch sizes.
+                vals, idx_ivf = rerank_exact(
+                    q.astype(jnp.float32), bank, idx_ivf, k,
+                    cand_valid=jnp.isfinite(vals),
                 )
-                exact = jnp.where(vals > jnp.float32(-1e30), exact,
-                                  jnp.float32(-1e30))
-                vals, sel = jax.lax.top_k(exact, k)
-                idx_ivf = jnp.take_along_axis(idx_ivf, sel, axis=1)
             out_labels = jnp.take(labels, idx_ivf, axis=0)
             # Public indices are ORIGINAL row ids (reference semantics).
             # Padding slots are leaf_valid-masked to -inf, but degenerate

@@ -52,10 +52,19 @@ class NearestNeighborSearchBase(ABC):
 
     def gather_features_pure(self, state, idx):
         """Gather stored feature rows by ORIGINAL row id from the state
-        pytree (backends with a reordered layout override this)."""
+        pytree (backends with a reordered layout override this).
+
+        Quantized banks return DEQUANTIZED features: prefer the
+        full-precision rerank copy when present, else rescale int8 codes
+        by the stored bank_scale — raw codes (~|127|) are not features.
+        """
         import jax.numpy as jnp
 
-        return jnp.take(state["bank"], idx, axis=0)
+        src = state.get("rerank_bank", state["bank"])
+        rows = jnp.take(src, idx, axis=0)
+        if rows.dtype == jnp.int8 and "bank_scale" in state:
+            rows = rows.astype(jnp.float32) * state["bank_scale"]
+        return rows
 
     def state_spec(self, n_rows: int):
         """`jax.ShapeDtypeStruct` pytree of `device_state` as it would look

@@ -86,6 +86,71 @@ def train_centroids(
     return c
 
 
+def refine_centroids_balanced(
+    sample: jax.Array,
+    centroids: jax.Array,
+    *,
+    slack: float,
+    rounds: int = 2,
+    spherical: bool = True,
+) -> jax.Array:
+    """Capacity-aware k-means refinement.
+
+    Plain Lloyd's produces leaves whose natural sizes exceed the fixed
+    per-leaf capacity (21.8% of rows measured off their best leaf at
+    slack 1.3 on hard mixtures). Each round re-fits every centroid to the
+    members its leaf would actually hold under the capacity constraint
+    (score-priority balanced placement on the sample), pulling centroids
+    toward capacity-respecting partitions.
+    """
+    n_leaves, d = centroids.shape
+    s_n = sample.shape[0]
+    cap_s = max(1, int(np.ceil(s_n * slack / n_leaves)))
+    c = centroids
+    for _ in range(rounds):
+        choices, scores = assign_leaves(
+            sample, c, n_choices=3, return_scores=True
+        )
+        slots, _fill = balanced_layout(choices, n_leaves, cap_s,
+                                       scores=scores)
+        leaf = jnp.asarray(slots // cap_s, jnp.int32)
+        sums = jax.ops.segment_sum(
+            sample.astype(jnp.float32), leaf, num_segments=n_leaves
+        )
+        cnt = jax.ops.segment_sum(
+            jnp.ones((s_n,), jnp.float32), leaf, num_segments=n_leaves
+        )[:, None]
+        newc = jnp.where(cnt > 0, sums / jnp.maximum(cnt, 1.0), c)
+        if spherical:
+            newc = newc / jnp.maximum(
+                jnp.linalg.norm(newc, axis=1, keepdims=True), 1e-12
+            )
+        c = newc
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("a",))
+def _assign_block(rows, c_t, a: int):
+    """Top-`a` leaf ids + scores for one row block.
+
+    Module-level jit (centroids as an ARGUMENT): a per-call closure would
+    retrace and recompile on every assign_leaves invocation — painful
+    through a remote compiler. Iterated argmax + knockout instead of
+    lax.top_k: top_k over the leaf axis measured ~150s for 1M rows x 512
+    leaves on v5e (the same sort bottleneck as the XLA kNN path); `a`
+    argmax passes are pure VPU reductions.
+    """
+    s = rows.astype(jnp.float32) @ c_t
+    ids = []
+    tops = []
+    for _ in range(a):
+        top = jnp.argmax(s, axis=1)
+        ids.append(top.astype(jnp.int32))
+        tops.append(jnp.max(s, axis=1))
+        s = jnp.where(jax.nn.one_hot(top, s.shape[1], dtype=bool), NEG_INF, s)
+    return jnp.stack(ids, axis=1), jnp.stack(tops, axis=1)
+
+
 def assign_leaves(
     bank,
     centroids: jax.Array,
@@ -101,25 +166,13 @@ def assign_leaves(
     c_t = centroids.T  # (D, K)
     a = min(n_choices, centroids.shape[0])
 
-    @jax.jit
     def block_fn(rows):
-        s = rows.astype(jnp.float32) @ c_t
-        # Iterated argmax + knockout instead of lax.top_k: top_k over the
-        # leaf axis measured ~150s for 1M rows x 512 leaves on v5e (the
-        # same sort bottleneck as the XLA kNN path); 3 argmax passes are
-        # pure VPU reductions.
-        ids = []
-        tops = []
-        for _ in range(a):
-            top = jnp.argmax(s, axis=1)
-            ids.append(top.astype(jnp.int32))
-            tops.append(jnp.max(s, axis=1))
-            s = jnp.where(
-                jax.nn.one_hot(top, s.shape[1], dtype=bool), NEG_INF, s
-            )
-        return jnp.stack(ids, axis=1), jnp.stack(tops, axis=1)
+        return _assign_block(rows, c_t, a)
 
     m = bank.shape[0]
+    # Don't pad a small input (e.g. the k-means refinement sample) all the
+    # way up to the default block.
+    block_rows = min(block_rows, _round_up(m, 256))
     out = np.empty((m, a), np.int32)
     sc = np.empty((m, a), np.float32)
     for i in range(0, m, block_rows):
@@ -304,10 +357,16 @@ def ivf_search(
         queries = queries[order]
     q_pad = _round_up(q_n, block_q)
     if q_pad != q_n:
-        queries = jnp.pad(queries, ((0, q_pad - q_n), (0, 0)))
+        # Edge padding (replicate the last query): zero rows would vote
+        # score 0 for every leaf in the last tile's shortlist and distort
+        # it whenever real queries score negatively against all centroids.
+        queries = jnp.pad(queries, ((0, q_pad - q_n), (0, 0)), mode="edge")
     lids = select_block_leaves(queries, centroids, n_probe, block_q)
     if kernel == "auto":
-        kernel = "pallas"
+        # Mosaic only compiles on TPU; elsewhere the XLA gather path is
+        # the real implementation (interpreted Pallas is orders of
+        # magnitude slower).
+        kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
     if kernel == "pallas":
         vals, idx = pallas_ivf_knn(
             queries, ivf_bank, lids, leaf_valid, k,

@@ -96,7 +96,9 @@ def sharded_ivf_knn_with_labels(
     q_n = queries.shape[0]
     q_pad = _round_up(q_n, block_q)
     if q_pad != q_n:
-        queries = jnp.pad(queries, ((0, q_pad - q_n), (0, 0)))
+        # Edge padding: see ops/ivf.ivf_search — zero pad rows would
+        # distort the last tile's leaf shortlist.
+        queries = jnp.pad(queries, ((0, q_pad - q_n), (0, 0)), mode="edge")
 
     def local_search(q, bank_l, labels_l, cent, lv):
         i = jax.lax.axis_index(bank_axis)

@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--block-q", type=int, default=256)
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--refine", type=int, default=2)
     args = ap.parse_args()
 
     from hbird_tpu.ops.ivf import (
@@ -90,10 +91,16 @@ def main():
     t0 = time.time()
     n_leaves, cap = tree_layout(args.rows, args.n_leaves)
     sample_idx = rng.choice(args.rows, min(args.rows, 131072), replace=False)
+    sample = jnp.asarray(x[sample_idx])
     cent = train_centroids(
-        jnp.asarray(x[sample_idx]), n_leaves, iters=12,
-        key=jax.random.PRNGKey(1),
+        sample, n_leaves, iters=12, key=jax.random.PRNGKey(1),
     )
+    if args.refine > 0:
+        from hbird_tpu.ops.ivf import refine_centroids_balanced
+
+        cent = refine_centroids_balanced(
+            sample, cent, slack=1.3, rounds=args.refine
+        )
     cent.block_until_ready()
     t_km = time.time() - t0
     # Assign from the DEVICE-resident bank (the f32 host copy would cost
