@@ -514,3 +514,28 @@ class TestRefinement:
         c1 = refine_centroids_balanced(jnp.asarray(x), c0, slack=1.1,
                                        rounds=3)
         assert spill(c1) <= spill(c0) + 1e-9, (spill(c0), spill(c1))
+
+
+class TestLayoutFuzz:
+    def test_invariants_across_random_geometries(self):
+        # balanced_layout must uphold its invariants for any (M, leaves,
+        # cap, choices, scores) with n_leaves*cap >= M.
+        for seed in range(12):
+            rng = np.random.default_rng(seed)
+            n_leaves = int(rng.integers(1, 20))
+            m = int(rng.integers(1, 3000))
+            cap = int(np.ceil(m / n_leaves * rng.uniform(1.0, 2.0)))
+            a = int(rng.integers(1, 4))
+            choices = rng.integers(0, n_leaves, (m, a)).astype(np.int32)
+            scores = (
+                rng.normal(size=(m, a)).astype(np.float32)
+                if rng.random() < 0.5 else None
+            )
+            slots, fill = balanced_layout(choices, n_leaves, cap,
+                                          scores=scores)
+            assert (slots >= 0).all() and (slots < n_leaves * cap).all(), seed
+            assert len(np.unique(slots)) == m, seed
+            leaf = slots // cap
+            within = slots % cap
+            assert (within < fill[leaf]).all(), seed
+            assert fill.sum() == m and (fill <= cap).all(), seed
