@@ -230,11 +230,36 @@ def _knn_kernel(
         # stays well inside f32's exact-integer range for D <= 1024).
         s = s.astype(jnp.float32)
 
+    masked = jnp.where(col < valid_ref[0], s, NEG_INF)
+    if merge_mode == "carry_lazy":
+        # Skip the full-tile VMEM store for tiles that cannot contribute:
+        # the masked scores stay a register/VMEM VALUE, only the row max
+        # is reduced, and the store + merge run under one predicate.
+        # Measured on v5e (1M bf16, warm compiles): 1533ms vs carry's
+        # 1474ms — the store it avoids is cheap VMEM traffic while the
+        # value-max pass is paid on EVERY tile, so 'carry' stays the
+        # default. Kept because its semantics are identical and it
+        # compiled fast when the remote Mosaic cache misbehaved (2-26s
+        # vs 388-1283s observed for 'carry' in the same session).
+        m0 = jnp.max(masked, axis=1, keepdims=True)
+
+        @pl.when(jnp.any(m0 > jnp.min(vals_ref[...], axis=1, keepdims=True)))
+        def _store_and_merge():
+            s_ref[...] = masked
+            _carry_merge(s_ref, vals_ref, idx_ref, base=base, k_pad=k_pad)
+
+        @pl.when(j == n_bank_tiles - 1)
+        def _store_lazy():
+            vals_out_ref[...] = vals_ref[...]
+            idx_out_ref[...] = idx_ref[...]
+
+        return
+
     # NB: an attempted "mask only the boundary tile" split into two
     # predicated stores measured SLOWER (1950ms vs 1683ms/batch on v5e) —
     # the branch breaks the matmul/store fusion. Keep the single fused
     # masked store.
-    s_ref[...] = jnp.where(col < valid_ref[0], s, NEG_INF)
+    s_ref[...] = masked
 
     def merge_chunk_loop(c0):
         """Insert candidates from s_ref[:, c0:c0+merge_chunk] into the
@@ -454,7 +479,7 @@ def pallas_knn(
     # passes do. 'carry' at block_q=256 remains the production default.
     merge_chunk = min(merge_chunk or block_m, block_m)
     assert block_m % merge_chunk == 0, (block_m, merge_chunk)
-    assert merge_mode in ("single", "bucket", "carry", "carry2"), merge_mode
+    assert merge_mode in ("single", "bucket", "carry", "carry2", "carry_lazy"), merge_mode
     if merge_mode == "bucket":
         n_buckets = min(n_buckets, block_m)
         assert block_m % n_buckets == 0, (block_m, n_buckets)

@@ -35,10 +35,9 @@ q_d = jax.device_put(jnp.asarray(queries, jnp.bfloat16))
 ref_idx = None
 CONFIGS = [
     ("carry", 256, 8192, 32),
-    ("carry2", 256, 8192, 32),
-    ("carry2", 512, 8192, 32),
-    ("carry2", 192, 8192, 32),
-    ("carry2", 256, 4096, 32),
+    ("carry_lazy", 256, 8192, 32),
+    ("carry", 256, 8192, 32),
+    ("carry_lazy", 256, 8192, 32),
 ]
 for mode, bq, bm, nb in CONFIGS:
     tag = f"{mode} bq={bq} bm={bm}" + (f" nb={nb}" if mode == "bucket" else "")
