@@ -228,12 +228,21 @@ class HbirdEvaluation:
             except Exception as e:  # AOT is best-effort; evaluate() will JIT
                 logger.info("AOT eval-step precompile skipped: %s", e)
 
-        with self.timer.phase("memory_build"), maybe_trace("memory_build"):
-            filled = self._create_memory(
-                train_loader,
-                num_classes=num_classes,
-                eval_spatial_resolution=eval_spatial_resolution,
-            )
+        try:
+            with self.timer.phase("memory_build"), maybe_trace("memory_build"):
+                filled = self._create_memory(
+                    train_loader,
+                    num_classes=num_classes,
+                    eval_spatial_resolution=eval_spatial_resolution,
+                )
+        except BaseException:
+            # Don't let a crashing build abandon the in-flight AOT
+            # compile: the caller typically exits on this exception, and
+            # killing a remote Mosaic compile wedges the TPU tunnel.
+            th = getattr(self, "_aot_thread", None)
+            if th is not None and th.is_alive():
+                th.join()
+            raise
         if memory_size is not None and filled is not None and filled < memory_size:
             logger.info("Trimming memory %d -> %d rows", memory_size, filled)
             self.feature_memory = self.feature_memory[:filled]

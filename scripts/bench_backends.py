@@ -109,6 +109,13 @@ configs = [
     ("int8 + rerank120",
      lambda: NearestNeighborSearchExact(
          bank, n_neighbors=K, use_int8=True, num_reordering_candidates=120)),
+    # NB: this bank is an UNCLUSTERED gaussian — the worst case for a
+    # tree (recall ~= scanned fraction). The row documents throughput;
+    # the recall curve on realistic clustered geometry lives in
+    # scripts/bench_ivf.py (recall@30 ~1.0 at probe 32 after refinement).
+    ("ivf tree (probe 32/512; unclustered!)",
+     lambda: NearestNeighborSearchApprox(
+         bank, n_neighbors=K, use_tree=True)),
 ]
 
 for tag, make in configs:
