@@ -2,20 +2,20 @@
 
 The reference's ScaNN backend prunes work with a k-means tree +
 asymmetric hashing + exact reordering (hbird/nn/search_scann.py:18-33).
-On TPU the idiomatic pruning primitive is `lax.approx_max_k` — the
-hardware PartialReduce MIPS operator — which skips the full sort rather
-than the scoring matmul. This backend accepts ScaNN's parameter names for
-drop-in config compatibility and maps them onto a recall target:
+This backend accepts ScaNN's parameter names for drop-in config
+compatibility. Two modes:
 
-- num_leaves / num_leaves_to_search: recall ~ grows with the searched
-  fraction; recall_target = clip(0.9 + 0.4 * leaves_to_search/num_leaves)
-  unless `recall_target` is given explicitly.
-- num_reordering_candidates: ScaNN reorder(C) — exact re-scoring of C
-  approximate candidates. DEFAULT 0 here: measured on v5e (1.024M bank,
-  k=30, scripts/bench_backends.py) the bare PartialReduce pass already
-  reaches recall@30 = 0.9998 vs the f32 oracle, while reorder(120) is
-  4.3x slower AND lower-recall (0.9948 — the wider approximate first pass
-  is coarser). Pass a value to restore ScaNN's literal default behavior.
+- **flat (default)**: measured on v5e, every approximate full-scan
+  variant is DOMINATED by the fused exact Pallas kernel (59.6k q/s
+  recall 1.0 vs approx_max_k 21.7k @0.9998 and ScaNN-literal
+  reorder(120) 5.0k @0.9948 — scripts/bench_backends.py), so
+  dot-product searches route straight to it; `lax.approx_max_k` (the
+  TPU PartialReduce primitive) remains the path for other metrics.
+- **tree (use_tree=True / nn_method='ivf')**: real
+  tree(num_leaves, num_leaves_to_search) semantics — the approximation
+  that actually pays on TPU (ops/ivf.py; 152.6k q/s at recall ~1.0 on a
+  1M clustered bank after capacity-aware refinement).
+
 - anisotropic_quantization_threshold / dimensions_per_block: quantization
   knobs with no TPU analogue (bf16 bank storage replaces AH — and is the
   default here, mirroring ScaNN's default quantized scoring); accepted,
@@ -101,9 +101,13 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         self.seed = int(seed)
         self.mesh = mesh
         self.label_memory = label_memory
-        # Smaller query tiles keep probed-leaf shortlists coherent in tree
-        # mode; the flat PartialReduce path prefers bigger tiles.
-        self.query_block = int(query_block or (256 if self.use_tree else 1024))
+        # 256 = the fused kernel's best tile (tree shortlists also stay
+        # coherent at 256); the XLA approx path (non-dot metrics) prefers
+        # bigger tiles.
+        self.query_block = int(query_block or (
+            256 if (self.use_tree or distance_measure == "dot_product")
+            else 1024
+        ))
         self.bank_block = int(bank_block)
         super().__init__(feature_memory, n_neighbors, distance_measure)
 
@@ -380,10 +384,26 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             return vals, idx, out_labels
         # `reorder(C)` semantics (reference search_scann.py:32): grab C
         # approximate candidates, exact-rescore, keep the top k.
-        rerank = (
-            self.num_reordering_candidates > k
-            and self.distance_measure == "dot_product"
-        )
+        if self.distance_measure == "dot_product":
+            # The fused exact kernel DOMINATES the PartialReduce primitive
+            # on TPU — 59.6k vs 21.7k q/s at 1M rows at recall 1.0 vs
+            # 0.9998, and 12x the ScaNN-literal reorder(120) config
+            # (scripts/bench_backends.py) — so the flat path routes to it
+            # and skips reorder (re-scoring exact results is a no-op).
+            # Approximation that actually PAYS on TPU is the leaf-
+            # partitioned tree (use_tree=True).
+            return sharded_knn_with_labels(
+                q.astype(bank.dtype),
+                bank,
+                labels,
+                k,
+                mesh=self.mesh,
+                valid_rows=self.valid_rows,
+                distance="dot_product",
+                query_block=self.query_block,
+                bank_block=self.bank_block,
+                kernel="pallas",
+            )
         return sharded_knn_with_labels(
             q.astype(bank.dtype),
             bank,
@@ -396,9 +416,6 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             recall_target=self.recall_target,
             query_block=self.query_block,
             bank_block=self.bank_block,
-            rerank_bank=bank if rerank else None,
-            rerank_queries=q.astype(bank.dtype) if rerank else None,
-            rerank_candidates=self.num_reordering_candidates if rerank else 0,
         )
 
     def find_nearest_neighbors(
