@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--no-aot", action="store_true",
                     help="disable the background AOT compile of the eval "
                          "step (measures the inline-JIT baseline)")
+    ap.add_argument("--nn-method", default="exact",
+                    choices=["exact", "scann", "ivf"])
+    ap.add_argument("--n-probe", type=int, default=32)
     args = ap.parse_args()
 
     print("device:", jax.devices(), flush=True)
@@ -74,13 +77,18 @@ def main():
     ds, ign = get_dataset("voc", root, args.batch_size, 8, tr, va, None, None)
 
     t0 = time.time()
+    nn_params = (
+        {"num_leaves_to_search": args.n_probe}
+        if args.nn_method == "ivf"
+        else {"kernel": args.kernel}
+    )
     ev = HbirdEvaluation(
         fe,
         ds.train_dataloader(),
         num_classes=21,
         n_neighbours=30,
-        nn_method="exact",
-        nn_params={"kernel": args.kernel},
+        nn_method=args.nn_method,
+        nn_params=nn_params,
         memory_size=args.memory_size,
         dataset_size=ds.get_train_dataset_size(),
         bf16_bank=True,
