@@ -153,7 +153,12 @@ def main() -> None:
                 "--preset", "dino_vits16", "--input-size", "224",
                 "--batch-size", "16", "--n-train", "512", "--n-val", "64",
             ],
-            cwd=here, capture_output=True, text=True, timeout=2400,
+            # Generous: a SIGKILL mid-TPU-operation wedges the remote
+            # tunnel for minutes (CLAUDE.md); cold-cache Mosaic compiles
+            # have been observed at up to ~25 min for a single kernel.
+            # Nothing after this touches the device, so even a timeout
+            # cannot block the headline JSON line below.
+            cwd=here, capture_output=True, text=True, timeout=3000,
         )
         log("[e2e] " + " | ".join(
             line for line in (proc.stdout + proc.stderr).splitlines()

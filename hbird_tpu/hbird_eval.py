@@ -36,6 +36,7 @@ Behavioral quirks kept for parity (SURVEY Appendix):
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Any, Dict, List, Optional, Tuple
@@ -376,17 +377,39 @@ class HbirdEvaluation:
             )
             dev_labels = jnp.zeros((accum_rows, self.num_classes), jnp.float32)
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(0,))
             def write_rows(bank, rows, start):
+                # Donated: without it every write allocates a fresh
+                # full-size bank while the old one is live (2x peak HBM —
+                # an OOM at near-capacity banks the comments promise to
+                # avoid).
                 return jax.lax.dynamic_update_slice(bank, rows, (start, 0))
 
         def consume(feats, labels, valid, bs):
             """Fold one finished step's output into the bank (may block on
             the device for host-bound paths)."""
-            nonlocal idx, dev_feats, dev_labels
+            nonlocal idx, dev_feats, dev_labels, overflow_warned
             rows_per_img = feats.shape[0] // bs
             n_rows = min(valid * rows_per_img, accum_rows - idx) \
                 if accum_rows is not None else valid * rows_per_img
+            if (
+                not bounded
+                and accum_rows is not None
+                and n_rows < valid * rows_per_img
+                and not overflow_warned
+            ):
+                # The loader yielded MORE rows than dataset_size *
+                # S^2 * augmentation_epoch promised (repeating loader,
+                # stale dataset_size, or a backbone with a different
+                # token count); silently dropping them would corrupt
+                # the bank.
+                overflow_warned = True
+                logger.warning(
+                    "Unbounded memory overflow: the preallocated %d rows "
+                    "are full but the loader keeps yielding; later rows "
+                    "are DROPPED. Check dataset_size/augmentation_epoch.",
+                    accum_rows,
+                )
             if device_accum:
                 # Full batches write in place (async dispatch, no host
                 # sync); the (rare) ragged tail batch goes through a host
@@ -423,6 +446,7 @@ class HbirdEvaluation:
         in_flight = None
         if not device_accum:
             dev_feats = dev_labels = None
+        overflow_warned = False
         n_imgs = 0
         for epoch in tqdm(range(self.augmentation_epoch), desc="Augmentation loop"):
             for x, y in tqdm(train_loader, desc="Memory creation loop", leave=False):
@@ -826,61 +850,63 @@ class HbirdEvaluation:
         t_prev = time.perf_counter()
         in_flight = None
         aot_checked = False
-        for x, y in tqdm(val_loader, desc="Evaluation loop"):
-            if timing:
-                t_host = time.perf_counter()
-                logger.info("[t] host feed: %.3fs", t_host - t_prev)
-            x = _as_batch(x)
-            y = _as_batch(y)
-            if batch_size is None:
-                batch_size = self._pad_target(x.shape[0])
-            x, valid = _pad_batch(x, batch_size)
-            # Padded images: force all-ignore GT so they don't touch the metric.
-            ign = ignore_index if ignore_index is not None else 255
-            if y.dtype == np.uint8:
-                y_pad = np.full((batch_size,) + y.shape[1:], ign, np.uint8)
-            else:
-                y_pad = np.full(
-                    (batch_size,) + y.shape[1:], ign / 255.0, np.float32
+        try:
+            for x, y in tqdm(val_loader, desc="Evaluation loop"):
+                if timing:
+                    t_host = time.perf_counter()
+                    logger.info("[t] host feed: %.3fs", t_host - t_prev)
+                x = _as_batch(x)
+                y = _as_batch(y)
+                if batch_size is None:
+                    batch_size = self._pad_target(x.shape[0])
+                x, valid = _pad_batch(x, batch_size)
+                # Padded images: force all-ignore GT so they don't touch the metric.
+                ign = ignore_index if ignore_index is not None else 255
+                if y.dtype == np.uint8:
+                    y_pad = np.full((batch_size,) + y.shape[1:], ign, np.uint8)
+                else:
+                    y_pad = np.full(
+                        (batch_size,) + y.shape[1:], ign / 255.0, np.float32
+                    )
+                y_pad[:valid] = y
+                xb = self._put_batch(x)
+                yb = self._put_batch(y_pad)
+                if not aot_checked:
+                    aot_checked = True
+                    alt = self._take_aot_step(
+                        xb, yb, eval_spatial_resolution, ignore_index,
+                        return_knn_details,
+                    )
+                    if alt is not None:
+                        step = alt
+                conf, pred, y_ids, details = step(
+                    xb,
+                    yb,
+                    self._fwd_operand,
+                    self.NN_algorithm.device_state,
                 )
-            y_pad[:valid] = y
-            xb = self._put_batch(x)
-            yb = self._put_batch(y_pad)
-            if not aot_checked:
-                aot_checked = True
-                alt = self._take_aot_step(
-                    xb, yb, eval_spatial_resolution, ignore_index,
-                    return_knn_details,
-                )
-                if alt is not None:
-                    step = alt
-            conf, pred, y_ids, details = step(
-                xb,
-                yb,
-                self._fwd_operand,
-                self.NN_algorithm.device_state,
-            )
-            if timing:
-                t_disp = time.perf_counter()
-                logger.info("[t] pad+put+dispatch: %.3fs", t_disp - t_host)
+                if timing:
+                    t_disp = time.perf_counter()
+                    logger.info("[t] pad+put+dispatch: %.3fs", t_disp - t_host)
+                if in_flight is not None:
+                    consume(in_flight)
+                if timing:
+                    logger.info("[t] consume prev: %.3fs", time.perf_counter() - t_disp)
+                    t_prev = time.perf_counter()
+                in_flight = (conf, pred, y_ids, details, valid)
             if in_flight is not None:
                 consume(in_flight)
-            if timing:
-                logger.info("[t] consume prev: %.3fs", time.perf_counter() - t_disp)
-                t_prev = time.perf_counter()
-            in_flight = (conf, pred, y_ids, details, valid)
-        if in_flight is not None:
-            consume(in_flight)
-
-        eval_trace.__exit__(None, None, None)
-        eval_phase.__exit__(None, None, None)
-        # An unused AOT compile (aval mismatch) may still be in flight;
-        # wait it out rather than letting the process exit mid-compile
-        # (which wedges the remote TPU tunnel).
-        th = getattr(self, "_aot_thread", None)
-        if th is not None and th.is_alive():
-            logger.info("Waiting for the unused AOT compile to finish...")
-            th.join()
+        finally:
+            # Exception-safe teardown: a crashing batch must not leave the
+            # jax.profiler trace open (a later phase would raise
+            # 'profiler is already active') or abandon an in-flight AOT
+            # compile (process exit mid-remote-compile wedges the tunnel).
+            eval_trace.__exit__(None, None, None)
+            eval_phase.__exit__(None, None, None)
+            th = getattr(self, "_aot_thread", None)
+            if th is not None and th.is_alive():
+                logger.info("Waiting for the unused AOT compile to finish...")
+                th.join()
         self.timer.add_items("evaluate", n_imgs)
         dt = time.time() - t0
         logger.info(

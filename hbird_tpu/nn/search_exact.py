@@ -196,6 +196,13 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         ):
             from hbird_tpu.parallel.sharded_knn import ring_knn_with_labels
 
+            # Split queries over EVERY mesh axis: the default ('bank',)
+            # alone would leave each data row redundantly running the
+            # identical full ring (n_data x the compute and query HBM).
+            parts = tuple(
+                ax for ax in ("data", "bank")
+                if self.mesh.shape.get(ax, 1) > 1
+            )
             vals, idx, out_labels = ring_knn_with_labels(
                 q_cast,
                 bank,
@@ -204,6 +211,7 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
                 mesh=self.mesh,
                 valid_rows=self.valid_rows,
                 distance=self.distance_measure,
+                query_partition=parts,
                 query_block=self.query_block,
                 bank_block=self.bank_block,
                 kernel=self.kernel,

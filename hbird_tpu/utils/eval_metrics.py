@@ -284,15 +284,19 @@ class PredsmIoU:
                 pred_all = np.concatenate(self._pred_chunks)
             else:
                 pred_all = np.zeros((0,), np.int64)
-            # Keep as an int64 ndarray and index with the stored dtype
-            # directly: a whole val set is ~16M pixels, and each extra
-            # astype/.tolist() pass costs seconds on a slow host.
             if mapping is None:
-                reordered_list = pred_all.astype(np.int64)
+                reordered = pred_all.astype(np.int64)
             else:
-                reordered_list = mapping[pred_all]
+                reordered = mapping[pred_all]
+            # Reference parity: callers who opt in get the LIST the
+            # reference emits (its per-pixel `.tolist()` remaps,
+            # eval_metrics.py:272-285) — list ops (`+`, `.index`,
+            # truthiness) on the 5th return value must keep working. The
+            # ~seconds-scale conversion is borne only by these callers;
+            # the engine passes return_reordered=False.
+            reordered_list = reordered.tolist()
         else:
-            reordered_list = np.zeros((0,), np.int64)
+            reordered_list = []
 
         return miou, tp, fp, fn, reordered_list, matched_bg
 
