@@ -87,3 +87,39 @@ class TestDispatch:
             knn_search(m, q, bank, 3)
         for m in ("approx", "scann"):
             knn_search(m, q, bank, 3)
+
+
+class TestTieOrdering:
+    """Tie semantics, pinned (roadmap: characterize vs Faiss).
+
+    Faiss GpuIndexFlat returns ties in ascending id order; our kernels
+    document lowest-column-wins per tile. With k=30 and softmax label
+    aggregation the effect on mIoU is nil (equal scores => equal
+    weights), but the ordering must at least be deterministic.
+    """
+
+    def test_duplicate_rows_lowest_index_wins(self):
+        import jax.numpy as jnp
+
+        from hbird_tpu.ops.knn import exact_knn
+        from hbird_tpu.ops.knn_pallas import pallas_knn
+
+        rng = np.random.default_rng(0)
+        base = rng.normal(size=(8, 16)).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        # bank = 4 copies of the same 8 rows -> every score 4-way tied
+        bank = np.tile(base, (4, 1))
+        q = base[:3]
+        for fn in (
+            lambda: exact_knn(jnp.asarray(q), jnp.asarray(bank), 4),
+            lambda: pallas_knn(jnp.asarray(q), jnp.asarray(bank), 4),
+        ):
+            vals, idx = fn()
+            idx = np.asarray(idx)
+            # top-1 must be the query's own (lowest-id) copy, and repeated
+            # runs must agree exactly (determinism)
+            v2, i2 = fn()
+            np.testing.assert_array_equal(idx, np.asarray(i2))
+            assert (idx[np.arange(3), 0] % 8 == np.arange(3)).all()
+            # all four returned neighbours are copies of the same row
+            assert (idx % 8 == idx[:, :1] % 8).all()
