@@ -196,3 +196,137 @@ out = os.path.join(os.path.dirname(__file__), "..", "examples",
 with open(os.path.abspath(out), "w") as f:
     nbf.write(nb, f)
 print("wrote", os.path.abspath(out))
+
+
+# ---------------------------------------------------------------------
+# Second notebook: multi-chip walkthrough (runs anywhere on a virtual
+# CPU mesh; the same code drives real v5e-8 meshes).
+# ---------------------------------------------------------------------
+nb2 = nbf.v4.new_notebook()
+nb2.metadata["kernelspec"] = nb.metadata["kernelspec"]
+c2 = []
+
+c2.append(nbf.v4.new_markdown_cell("""\
+# Multi-chip Hummingbird evaluation
+
+The multi-GPU counterpart of the reference's faiss-gpu walkthrough: the
+memory bank shards over a device mesh (Faiss `IndexShards` ≙), batches
+shard over a `data` axis, and the confusion matrix reduces across it.
+
+This notebook runs on **8 virtual CPU devices** so it executes anywhere;
+pointing the same code at a real TPU slice only changes the mesh's
+device list."""))
+
+c2.append(nbf.v4.new_code_cell("""\
+import os
+import sys
+
+# BEFORE importing jax: 8 virtual CPU devices.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+
+try:
+    import hbird_tpu
+except ImportError:
+    sys.path.insert(0, os.path.abspath(".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.devices()"""))
+
+c2.append(nbf.v4.new_code_cell("""\
+import tempfile
+
+from hbird_tpu.data.synthetic import make_voc_fixture
+
+data_dir = tempfile.mkdtemp() + "/voc"
+make_voc_fixture(
+    data_dir, n_train=16, n_val=8, size=(96, 80),
+    colorize=True, seed=0, class_pool=[1, 2, 3, 4, 5],
+)
+
+INPUT, PATCH = 32, 4
+S = INPUT // PATCH
+
+
+def mean_color_fn(model, imgs):
+    b, c, h, w = imgs.shape
+    s = h // PATCH
+    x = imgs.reshape(b, c, s, PATCH, s, PATCH).mean(axis=(3, 5))
+    return x.transpose(0, 2, 3, 1).reshape(b, s * s, c), None"""))
+
+c2.append(nbf.v4.new_markdown_cell("""\
+## A (data=2, bank=4) mesh
+
+Batches shard 2-way; memory-bank rows shard 4-way. Retrieval runs the
+tiled kernel per shard, merges the per-shard top-k with an `all_gather`,
+and fetches neighbour labels with a masked `psum` — only `(shards, Q, k)`
+candidates and `(Q, k, C)` labels cross the interconnect."""))
+
+c2.append(nbf.v4.new_code_cell("""\
+from hbird_tpu import hbird_evaluation
+from hbird_tpu.parallel import make_mesh
+
+mesh = make_mesh((2, 4), ("data", "bank"))
+miou = hbird_evaluation(
+    model=None, d_model=3, patch_size=PATCH,
+    dataset_name="voc", data_dir=data_dir,
+    batch_size=4, input_size=INPUT,
+    n_neighbours=5, nn_method="exact",
+    ftr_extr_fn=mean_color_fn, num_workers=0,
+    mesh=mesh,
+)
+print(f"sharded-bank mIoU = {float(miou):.4f}")"""))
+
+c2.append(nbf.v4.new_markdown_cell("""\
+## Ring strategy: nothing replicated
+
+`shard_strategy=ring` shards the queries too: each device holds Q/n
+queries + M/n bank rows, and query blocks rotate around the bank axis
+via `ppermute` carrying their running top-k — the retrieval analogue of
+ring attention. Use it when Q×D no longer fits replicated (full-VOC ~2M
+queries)."""))
+
+c2.append(nbf.v4.new_code_cell("""\
+miou_ring = hbird_evaluation(
+    model=None, d_model=3, patch_size=PATCH,
+    dataset_name="voc", data_dir=data_dir,
+    batch_size=4, input_size=INPUT,
+    n_neighbours=5, nn_method="exact",
+    nn_params={"shard_strategy": "ring"},
+    ftr_extr_fn=mean_color_fn, num_workers=0,
+    mesh=mesh,
+)
+print(f"ring mIoU = {float(miou_ring):.4f}  (== gather merge)")"""))
+
+c2.append(nbf.v4.new_markdown_cell("""\
+## Leaf-sharded IVF tree
+
+`nn_method="ivf"` partitions the bank into k-means leaves; with a mesh,
+the leaf slabs shard over the `bank` axis and each shard probes its
+local top leaves (`parallel/sharded_ivf.py`). On v5e this is the
+fastest backend at multi-million-row banks (3-4× the exact kernel at
+recall ~0.99 — see README)."""))
+
+c2.append(nbf.v4.new_code_cell("""\
+miou_ivf = hbird_evaluation(
+    model=None, d_model=3, patch_size=PATCH,
+    dataset_name="voc", data_dir=data_dir,
+    batch_size=4, input_size=INPUT,
+    n_neighbours=5, nn_method="ivf",
+    nn_params={"num_leaves": 8, "num_leaves_to_search": 8,
+               "query_block": 64},
+    ftr_extr_fn=mean_color_fn, num_workers=0,
+    mesh=mesh,
+)
+print(f"ivf-tree mIoU = {float(miou_ivf):.4f}")"""))
+
+nb2.cells = c2
+out2 = os.path.join(os.path.dirname(__file__), "..", "examples",
+                    "hbird_eval_multichip_tpu.ipynb")
+with open(os.path.abspath(out2), "w") as f:
+    nbf.write(nb2, f)
+print("wrote", os.path.abspath(out2))
