@@ -313,7 +313,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="faiss/exact = exact flat kNN; scann/approx = "
                         "approx top-k (TPU PartialReduce); ivf/tree = "
                         "leaf-partitioned scan (ScaNN tree() semantics; "
-                        "num_leaves / num_leaves_to_search nn-params).")
+                        "num_leaves / num_leaves_to_search nn-params). "
+                        "With --mesh-bank > 1 the ivf probe budget splits "
+                        "across shards (recall can differ from single-chip "
+                        "under leaf skew); --nn-param shard_probe=full "
+                        "probes up to num_leaves_to_search leaves per "
+                        "shard for recall >= single-chip.")
     p.add_argument("--nn-param", action="append", default=[], metavar="KEY=VALUE",
                    help="Extra NN param (repeatable), e.g. --nn-param use_fp16=true")
     p.add_argument("--memory-size", type=int, default=None)

@@ -390,25 +390,31 @@ class HbirdEvaluation:
             the device for host-bound paths)."""
             nonlocal idx, dev_feats, dev_labels, overflow_warned
             rows_per_img = feats.shape[0] // bs
-            n_rows = min(valid * rows_per_img, accum_rows - idx) \
-                if accum_rows is not None else valid * rows_per_img
-            if (
-                not bounded
-                and accum_rows is not None
-                and n_rows < valid * rows_per_img
-                and not overflow_warned
-            ):
+            full_rows = valid * rows_per_img
+            n_rows = min(full_rows, accum_rows - idx) \
+                if accum_rows is not None else full_rows
+            if not bounded and accum_rows is not None and n_rows < full_rows:
                 # The loader yielded MORE rows than dataset_size *
                 # S^2 * augmentation_epoch promised (repeating loader,
                 # stale dataset_size, or a backbone with a different
-                # token count); silently dropping them would corrupt
-                # the bank.
-                overflow_warned = True
-                logger.warning(
-                    "Unbounded memory overflow: the preallocated %d rows "
-                    "are full but the loader keeps yielding; later rows "
-                    "are DROPPED. Check dataset_size/augmentation_epoch.",
-                    accum_rows,
+                # token count). The reference accumulates everything
+                # (hbird_eval.py:322-329), so the excess spills to host
+                # chunks and is concatenated back after the build rather
+                # than being dropped.
+                if not overflow_warned:
+                    overflow_warned = True
+                    logger.warning(
+                        "Unbounded memory overflow: the preallocated %d "
+                        "rows are full but the loader keeps yielding; "
+                        "excess rows spill to host-side accumulation. "
+                        "Check dataset_size/augmentation_epoch.",
+                        accum_rows,
+                    )
+                feature_chunks.append(
+                    np.asarray(feats[n_rows:full_rows], np.float32)
+                )
+                label_chunks.append(
+                    np.asarray(labels[n_rows:full_rows], np.float32)
                 )
             if device_accum:
                 # Full batches write in place (async dispatch, no host
@@ -473,6 +479,16 @@ class HbirdEvaluation:
                 # Loader yielded fewer images than dataset_size promised.
                 dev_feats = dev_feats[:idx]
                 dev_labels = dev_labels[:idx]
+            if not bounded and feature_chunks:
+                # Overflow spill (see consume): fold the host-accumulated
+                # excess back in so no training rows are lost.
+                dev_feats = jnp.concatenate(
+                    [dev_feats, jnp.asarray(np.concatenate(feature_chunks))]
+                )
+                dev_labels = jnp.concatenate(
+                    [dev_labels, jnp.asarray(np.concatenate(label_chunks))]
+                )
+                idx = dev_feats.shape[0]
             self.feature_memory = dev_feats
             self.label_memory = dev_labels
             logger.info(

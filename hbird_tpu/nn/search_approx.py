@@ -51,6 +51,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         use_int8: bool = False,
         bank_scale: Optional[float] = None,
         tree_slack: float = 1.3,
+        shard_probe: str = "split",
         tree_refine_rounds: int = 2,
         tree_sample_rows: int = 131072,
         kmeans_iters: int = 12,
@@ -63,6 +64,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
     ):
         if distance_measure not in ("dot_product", "euclidean", "l2"):
             raise ValueError(f"Unsupported distance measure: {distance_measure}")
+        recall_target_explicit = recall_target is not None
         if recall_target is None:
             frac = num_leaves_to_search / max(1, num_leaves)
             recall_target = float(np.clip(0.9 + 0.4 * frac, 0.5, 0.99))
@@ -70,6 +72,23 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         self.num_leaves = num_leaves
         self.num_leaves_to_search = num_leaves_to_search
         self.num_reordering_candidates = num_reordering_candidates
+        if (
+            not use_tree
+            and distance_measure == "dot_product"
+            and (num_reordering_candidates > 0 or recall_target_explicit)
+        ):
+            from hbird_tpu.utils.logging import get_logger
+
+            # The flat dot-product path routes to the exact fused kernel
+            # (faster than every approximate full scan measured on v5e),
+            # which makes these tuning knobs inert — say so rather than
+            # silently ignoring explicitly-passed parameters.
+            get_logger(__name__).info(
+                "Flat dot-product 'scann' routes to the exact kernel "
+                "(recall 1.0); num_reordering_candidates/recall_target "
+                "are bypassed. Pass use_tree=true (or nn_method='ivf') "
+                "for real tree(num_leaves, num_leaves_to_search) pruning."
+            )
         self.use_fp16 = use_fp16
         # use_tree=True: REAL tree(num_leaves, num_leaves_to_search)
         # semantics (reference search_scann.py:26-27) — k-means leaves,
@@ -95,6 +114,12 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             jnp.float32(bank_scale) if bank_scale is not None else None
         )
         self.tree_slack = float(tree_slack)
+        # Meshed-tree probe semantics (parallel/sharded_ivf.py): 'split'
+        # spreads the n_probe budget across shards (constant total scan,
+        # recall can dip vs single-chip under leaf skew); 'full' probes
+        # up to n_probe leaves PER shard (recall >= single-chip, up to p×
+        # the scan). nn-param shard_probe=full selects the latter.
+        self.shard_probe = str(shard_probe)
         self.tree_refine_rounds = int(tree_refine_rounds)
         self.tree_sample_rows = int(tree_sample_rows)
         self.kmeans_iters = int(kmeans_iters)
@@ -324,6 +349,19 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             # ScaNN reorder(C): one widened probe pass to C candidates,
             # then exact f32 re-scoring of the stored rows, keep top-k.
             kk = self.num_reordering_candidates if reorder else k
+            if kk > 128:
+                # The fused tree kernel holds the running top-kk in VMEM
+                # and supports kk <= 128; ScaNN-style reorder(250) configs
+                # clamp rather than die in a kernel assert (same clamp on
+                # CPU/XLA so results are platform-independent).
+                from hbird_tpu.utils.logging import get_logger
+
+                get_logger(__name__).warning(
+                    "num_reordering_candidates=%d exceeds the tree "
+                    "kernel's 128-candidate limit; clamping to 128.",
+                    kk,
+                )
+                kk = 128
             if self.use_int8:
                 q32 = q.astype(jnp.float32)
                 q_scale = jnp.maximum(jnp.abs(q32).max(), 1e-12) / 127.0
@@ -345,6 +383,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                     mesh=self.mesh, cap=self._cap,
                     n_probe=min(self.num_leaves_to_search, self._n_leaves),
                     block_q=self.query_block,
+                    shard_probe=self.shard_probe,
                 )
                 if self.use_int8:
                     vals = vals * (state["bank_scale"] * q_scale)

@@ -62,6 +62,7 @@ def sharded_ivf_knn_with_labels(
     sort_queries: bool = True,
     kernel: str = "auto",
     interpret: Optional[bool] = None,
+    shard_probe: str = "split",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Tree search over a leaf-sharded mesh.
 
@@ -73,6 +74,17 @@ def sharded_ivf_knn_with_labels(
             each shard slices its local rows).
         leaf_valid: (n_leaves,) int32, replicated.
         k / cap / n_probe / block_q: tree-search geometry.
+        shard_probe: how the probe budget maps onto shards —
+            'split' (default): each shard probes its local
+            top-ceil(n_probe/p) leaves, so total scanned rows stay
+            ~n_probe*cap. When probe-worthy leaves concentrate on one
+            shard (skewed query distributions) recall can differ from
+            single-chip at the same n_probe, because another shard's
+            forced picks replace globally-better leaves.
+            'full': each shard probes its local top-min(n_probe,
+            local_leaves) leaves — a superset of the single-chip
+            shortlist, so recall >= single-chip at the same n_probe, at
+            up to p× the scan cost.
 
     Returns:
         (values (Q, k) f32, indices (Q, k) int32 IVF-layout slot ids,
@@ -84,7 +96,10 @@ def sharded_ivf_knn_with_labels(
     assert n_leaves % p == 0, (n_leaves, p)
     local_leaves = n_leaves // p
     local_slots = n_slots // p
-    l_p = min(max(1, -(-n_probe // p)), local_leaves)
+    if shard_probe not in ("split", "full"):
+        raise ValueError(f"shard_probe must be 'split' or 'full': {shard_probe}")
+    per_shard = n_probe if shard_probe == "full" else -(-n_probe // p)
+    l_p = min(max(1, per_shard), local_leaves)
     if kernel == "auto":
         kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
 

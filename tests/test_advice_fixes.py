@@ -1,4 +1,7 @@
-"""Regression tests for the round-1 advisor findings (ADVICE.md)."""
+"""Regression tests for the round-1 and round-2 advisor findings
+(ADVICE.md)."""
+
+import logging
 
 import numpy as np
 import pytest
@@ -156,3 +159,178 @@ class TestConvertHeadsWarning:
             warnings.simplefilter("error")
             cfg = infer_config_from_timm_sd(sd)
         assert cfg.num_heads == 12
+
+
+def _clustered_bank(m, d, n_clusters, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32) * 3
+    asg = rng.integers(0, n_clusters, m)
+    x = centers[asg] + rng.normal(size=(m, d)).astype(np.float32) * 0.3
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+class TestShardProbeSemantics:
+    """ADVICE (r2) low: the leaf-sharded tree probes per-shard top-
+    ceil(n_probe/p) leaves; shard_probe='full' must probe a per-shard
+    SUPERSET so recall can only improve."""
+
+    def test_full_probe_recall_at_least_split(self):
+        import jax.numpy as jnp
+
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+        from hbird_tpu.parallel import make_mesh
+
+        x = _clustered_bank(3000, 32, 12, seed=5)
+        rng = np.random.default_rng(6)
+        q = jnp.asarray(
+            x[rng.integers(0, 3000, 200)]
+            + 0.02 * rng.normal(size=(200, 32)).astype(np.float32)
+        )
+        labels = jnp.asarray(rng.random((3000, 4)).astype(np.float32))
+        mesh = make_mesh((4,), ("bank",))
+        kw = dict(n_neighbors=10, use_tree=True, num_leaves=12,
+                  num_leaves_to_search=6, query_block=64, mesh=mesh,
+                  label_memory=labels)
+        nn_split = NearestNeighborSearchApprox(x, shard_probe="split", **kw)
+        nn_full = NearestNeighborSearchApprox(x, shard_probe="full", **kw)
+        exact_idx = np.argsort(-(np.asarray(q) @ x.T), axis=1)[:, :10]
+
+        def recall(nn):
+            _, idx, _ = nn.search_with_labels(q, 10)
+            idx = np.asarray(idx)
+            return np.mean([
+                len(set(idx[i]) & set(exact_idx[i])) / 10
+                for i in range(len(idx))
+            ])
+
+        r_split, r_full = recall(nn_split), recall(nn_full)
+        # 'full' probes a per-shard superset of 'split''s leaves.
+        assert r_full >= r_split, (r_full, r_split)
+        assert r_full > 0.75, r_full
+
+    def test_invalid_shard_probe_raises(self):
+        import jax.numpy as jnp
+
+        from hbird_tpu.parallel import make_mesh
+        from hbird_tpu.parallel.sharded_ivf import sharded_ivf_knn_with_labels
+
+        mesh = make_mesh((4,), ("bank",))
+        with pytest.raises(ValueError, match="shard_probe"):
+            sharded_ivf_knn_with_labels(
+                jnp.zeros((8, 8)), jnp.zeros((32, 8)), jnp.zeros((32, 2)),
+                jnp.zeros((4, 8)), jnp.ones(4, jnp.int32), 2,
+                mesh=mesh, cap=8, n_probe=2, shard_probe="bogus",
+            )
+
+
+class TestFlatScannParamBypass:
+    """ADVICE (r2) low: flat 'scann' + dot_product routes to the exact
+    kernel; explicitly-passed reorder/recall params must be signalled,
+    not silently inert."""
+
+    def test_logs_once_when_reorder_set(self, caplog):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        bank = _clustered_bank(100, 16, 3)
+        with caplog.at_level(logging.INFO, logger="hbird_tpu.nn.search_approx"):
+            NearestNeighborSearchApprox(
+                bank, n_neighbors=5, num_reordering_candidates=120,
+            )
+        assert any("bypassed" in r.message for r in caplog.records)
+
+    def test_silent_when_defaults(self, caplog):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        bank = _clustered_bank(100, 16, 3)
+        with caplog.at_level(logging.INFO, logger="hbird_tpu.nn.search_approx"):
+            NearestNeighborSearchApprox(bank, n_neighbors=5)
+        assert not any("bypassed" in r.message for r in caplog.records)
+
+
+class TestTreeReorderClamp:
+    """ADVICE (r2) low: tree path with num_reordering_candidates > 128
+    used to trip a bare kernel assert on TPU; it must clamp with a
+    warning and still search correctly."""
+
+    def test_reorder_250_clamps_and_runs(self, caplog):
+        import jax.numpy as jnp
+
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        x = _clustered_bank(2000, 32, 8, seed=9)
+        rng = np.random.default_rng(10)
+        q = jnp.asarray(x[rng.integers(0, 2000, 100)])
+        nn = NearestNeighborSearchApprox(
+            x, n_neighbors=10, use_tree=True, num_leaves=8,
+            num_leaves_to_search=4, query_block=64,
+            num_reordering_candidates=250,
+            label_memory=jnp.asarray(rng.random((2000, 4)).astype(np.float32)),
+        )
+        with caplog.at_level(logging.WARNING,
+                             logger="hbird_tpu.nn.search_approx"):
+            _, idx, _ = nn.search_with_labels(q, 10)
+        assert any("clamping to 128" in r.message for r in caplog.records)
+        idx = np.asarray(idx)
+        assert (idx >= 0).all() and (idx < 2000).all()
+        exact_idx = np.argsort(-(np.asarray(q) @ x.T), axis=1)[:, :10]
+        recall = np.mean([
+            len(set(idx[i]) & set(exact_idx[i])) / 10 for i in range(len(idx))
+        ])
+        # Half the leaves probed on a tiny random tree — the point is the
+        # clamp not crashing, not tree quality (covered by test_ivf).
+        assert recall > 0.5, recall
+
+
+class TestUnboundedOverflowSpill:
+    """ADVICE (r2) low: unbounded builds with a stale/short dataset_size
+    used to DROP rows past the preallocation; they must spill to host
+    accumulation and match the chunked path exactly."""
+
+    def _oracle(self, model, imgs):
+        b, c, h, w = imgs.shape
+        s = h // 4
+        x = imgs.reshape(b, c, s, 4, s, 4).mean(axis=(3, 5))
+        return x.transpose(0, 2, 3, 1).reshape(b, s * s, c), None
+
+    def _loader(self, n, seed=0):
+        rng = np.random.default_rng(seed)
+        imgs = rng.normal(size=(n, 3, 32, 32)).astype(np.float32)
+        ids = (rng.integers(0, 5, (n, 1, 32, 32)) / 255.0).astype(np.float32)
+        return [(imgs[i:i + 2], ids[i:i + 2]) for i in range(0, n, 2)]
+
+    def test_overflow_matches_chunked(self):
+        from hbird_tpu.hbird_eval import HbirdEvaluation
+        from hbird_tpu.models import FeatureExtractorSimple
+
+        fe = FeatureExtractorSimple(None, self._oracle,
+                                    eval_spatial_resolution=8, d_model=3)
+        loader = self._loader(6)
+        # dataset_size=2 promises 128 rows; the loader yields 384.
+        ev = HbirdEvaluation(
+            fe, loader, num_classes=21, n_neighbours=3, dataset_size=2,
+        )
+        ev_chunked = HbirdEvaluation(fe, loader, num_classes=21, n_neighbours=3)
+        assert ev.feature_memory.shape == ev_chunked.feature_memory.shape
+        np.testing.assert_array_equal(
+            np.asarray(ev.feature_memory), np.asarray(ev_chunked.feature_memory)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ev.label_memory), np.asarray(ev_chunked.label_memory)
+        )
+
+    def test_overflow_mid_batch(self):
+        from hbird_tpu.hbird_eval import HbirdEvaluation
+        from hbird_tpu.models import FeatureExtractorSimple
+
+        fe = FeatureExtractorSimple(None, self._oracle,
+                                    eval_spatial_resolution=8, d_model=3)
+        loader = self._loader(4, seed=1)
+        # dataset_size=3 -> 192 rows; overflow starts mid-second-batch.
+        ev = HbirdEvaluation(
+            fe, loader, num_classes=21, n_neighbours=3, dataset_size=3,
+        )
+        ev_chunked = HbirdEvaluation(fe, loader, num_classes=21, n_neighbours=3)
+        np.testing.assert_array_equal(
+            np.asarray(ev.feature_memory), np.asarray(ev_chunked.feature_memory)
+        )
