@@ -731,6 +731,82 @@ class HbirdEvaluation:
         self._aot_used = True  # breadcrumb for tests/diagnostics
         return compiled
 
+    def _uses_pallas_carry(self) -> bool:
+        """Is the eval step's retrieval the fused Pallas exact kernel with
+        the (compile-lottery-prone) default merge mode?"""
+        from hbird_tpu.ops import knn_pallas
+
+        nn = self.NN_algorithm
+        return (
+            isinstance(nn, NearestNeighborSearchExact)
+            and getattr(nn, "kernel", None) == "pallas"
+            and knn_pallas.default_merge_mode() == "carry"
+        )
+
+    def _budgeted_first_compile(self, step, step_cfg, args):
+        """Dispatch the first eval batch under a compile budget.
+
+        The remote Mosaic compiler is a lottery (the same carry-merge
+        kernel has compiled in 2s and in 1363s); when the AOT thread has
+        not delivered and the inline compile exceeds the budget, flip the
+        PROCESS default merge mode to 'carry_lazy' (identical semantics,
+        reliably fast compiles, ~4% slower steady-state) and retrace. The
+        abandoned compile keeps running in a daemon thread and is joined
+        at teardown (killing it mid-remote-compile wedges the tunnel).
+
+        Budget: HBIRD_COMPILE_BUDGET seconds (default 180; <= 0
+        disables). Only engaged for the pallas 'carry' exact path — every
+        other backend compiles dependably.
+        """
+        try:
+            budget = float(os.environ.get("HBIRD_COMPILE_BUDGET", 180.0))
+        except ValueError:
+            budget = 180.0
+        if budget <= 0 or not self._uses_pallas_carry():
+            return step
+        if not getattr(self.feature_extractor, "jittable", True):
+            return step
+
+        import threading
+
+        from hbird_tpu.ops import knn_pallas
+
+        done = threading.Event()
+
+        def work():
+            try:
+                out = step(*args)
+                jax.block_until_ready(out)
+            except Exception:  # noqa: BLE001 — main thread recompiles anyway
+                logger.exception("Budgeted first compile thread failed")
+            finally:
+                done.set()
+
+        th = threading.Thread(
+            target=work, name="hbird-first-compile", daemon=True
+        )
+        t0 = time.time()
+        th.start()
+        if done.wait(budget):
+            return step  # compiled (and first batch computed) in budget
+        logger.warning(
+            "Eval-step compile exceeded the %.0fs budget "
+            "(HBIRD_COMPILE_BUDGET); falling back to merge_mode="
+            "'carry_lazy' for this process (identical results, ~4%% "
+            "slower steady-state). The original compile continues in the "
+            "background.",
+            budget,
+        )
+        knn_pallas.set_default_merge_mode("carry_lazy")
+        self._fallback_thread = th  # joined in evaluate()'s teardown
+        self._compile_fallback_used = True  # breadcrumb for tests
+        step2 = self._make_eval_step(*step_cfg)
+        logger.info(
+            "carry compile abandoned after %.0fs; carry_lazy retrace "
+            "started", time.time() - t0,
+        )
+        return step2
+
     def _find_nearest_key_to_query(self, q) -> Tuple[np.ndarray, np.ndarray]:
         """Retrieve neighbour features and labels for query patches.
 
@@ -895,6 +971,14 @@ class HbirdEvaluation:
                     )
                     if alt is not None:
                         step = alt
+                    else:
+                        step = self._budgeted_first_compile(
+                            step,
+                            (eval_spatial_resolution, ignore_index,
+                             return_knn_details),
+                            (xb, yb, self._fwd_operand,
+                             self.NN_algorithm.device_state),
+                        )
                 conf, pred, y_ids, details = step(
                     xb,
                     yb,
@@ -919,10 +1003,14 @@ class HbirdEvaluation:
             # compile (process exit mid-remote-compile wedges the tunnel).
             eval_trace.__exit__(None, None, None)
             eval_phase.__exit__(None, None, None)
-            th = getattr(self, "_aot_thread", None)
-            if th is not None and th.is_alive():
-                logger.info("Waiting for the unused AOT compile to finish...")
-                th.join()
+            for attr, what in (
+                ("_aot_thread", "unused AOT compile"),
+                ("_fallback_thread", "abandoned carry compile"),
+            ):
+                th = getattr(self, attr, None)
+                if th is not None and th.is_alive():
+                    logger.info("Waiting for the %s to finish...", what)
+                    th.join()
         self.timer.add_items("evaluate", n_imgs)
         dt = time.time() - t0
         logger.info(

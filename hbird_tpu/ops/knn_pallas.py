@@ -382,6 +382,67 @@ def _knn_kernel(
         idx_out_ref[...] = idx_ref[...]
 
 
+# Process-wide default merge mode. 'carry' is the fastest steady-state
+# variant, but its remote Mosaic compile is a lottery (2s..1363s observed
+# for the same program); when a compile blows the engine's budget
+# (hbird_eval evaluate, HBIRD_COMPILE_BUDGET) the process flips this to
+# 'carry_lazy' — identical semantics, reliably fast compiles, ~4% slower.
+_DEFAULT_MERGE_MODE = ["carry"]
+
+
+def default_merge_mode() -> str:
+    return _DEFAULT_MERGE_MODE[0]
+
+
+def set_default_merge_mode(mode: str) -> None:
+    assert mode in ("single", "bucket", "carry", "carry2", "carry_lazy"), mode
+    _DEFAULT_MERGE_MODE[0] = mode
+
+
+def pallas_knn(
+    queries: jax.Array,
+    bank: jax.Array,
+    k: int,
+    *,
+    valid_rows: Optional[jax.Array | int] = None,
+    block_q: int = 256,
+    block_m: int = 8192,
+    merge_chunk: Optional[int] = None,
+    sorted_results: bool = True,
+    interpret: Optional[bool] = None,
+    merge_mode: Optional[str] = None,
+    n_buckets: int = 32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k dot-product search, fused in one Pallas kernel.
+
+    Args:
+        queries: (Q, D) float32/bf16.
+        bank: (M, D) same dtype family; scores accumulate in f32.
+        k: neighbours per query (k <= 128 supported; padded internally).
+        valid_rows: real bank rows (defaults to M); padded rows never win.
+        block_q / block_m: tile sizes (Q padded to block_q, M to block_m).
+        sorted_results: sort the k results by descending score (Faiss
+            parity). Unsorted skips a final small top-k.
+        merge_mode: top-k merge variant; None (default) resolves to the
+            process default ('carry', or 'carry_lazy' after a
+            compile-budget fallback — see set_default_merge_mode).
+
+    Returns:
+        (values, indices): (Q, k) f32 scores and int32 global row ids.
+    """
+    if merge_mode is None:
+        # Resolved at trace time, outside the jit cache: a later flip of
+        # the process default must produce a fresh trace, not hit a
+        # cache entry keyed on merge_mode=None.
+        merge_mode = _DEFAULT_MERGE_MODE[0]
+    return _pallas_knn_jit(
+        queries, bank, k,
+        valid_rows=valid_rows, block_q=block_q, block_m=block_m,
+        merge_chunk=merge_chunk, sorted_results=sorted_results,
+        interpret=interpret, merge_mode=merge_mode, n_buckets=n_buckets,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -389,7 +450,7 @@ def _knn_kernel(
         "interpret", "merge_mode", "n_buckets",
     ),
 )
-def pallas_knn(
+def _pallas_knn_jit(
     queries: jax.Array,
     bank: jax.Array,
     k: int,
@@ -403,20 +464,6 @@ def pallas_knn(
     merge_mode: str = "carry",
     n_buckets: int = 32,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k dot-product search, fused in one Pallas kernel.
-
-    Args:
-        queries: (Q, D) float32/bf16.
-        bank: (M, D) same dtype family; scores accumulate in f32.
-        k: neighbours per query (k <= 128 supported; padded internally).
-        valid_rows: real bank rows (defaults to M); padded rows never win.
-        block_q / block_m: tile sizes (Q padded to block_q, M to block_m).
-        sorted_results: sort the k results by descending score (Faiss
-            parity). Unsorted skips a final small top-k.
-
-    Returns:
-        (values, indices): (Q, k) f32 scores and int32 global row ids.
-    """
     q_n, d = queries.shape
     m, d2 = bank.shape
     assert d == d2

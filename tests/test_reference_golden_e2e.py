@@ -331,3 +331,115 @@ class TestSelfBuiltMemoryParity:
         assert abs(float(miou) - env["ref_miou"]) <= 5e-3, (
             float(miou), env["ref_miou"],
         )
+
+
+class TestBoundedMemoryParity:
+    """Run C: the BOUNDED-memory path (reference hbird_eval.py:330-355 +
+    `_sample_features` :447-517). The reference's torch-CPU tie-break
+    noise is recorded during its build and injected into our sampler, so
+    the per-image patch SELECTION is proven identical — the one engine
+    stage the unbounded runs A/B cannot cover."""
+
+    K_SAMP = 6  # sampled patches per image (of S*S = 16)
+
+    def _run_reference_bounded(self, ref_engine, env, monkeypatch):
+        draws = []
+        real_rand = torch.rand
+
+        def record_rand(*a, **k):
+            out = real_rand(*a, **k)
+            draws.append(out.clone())
+            return out
+
+        monkeypatch.setattr(torch, "rand", record_rand)
+        monkeypatch.setattr(
+            ref_engine.HbirdEvaluation,
+            "_create_nn",
+            lambda self, n_neighbours=30, nn_method="faiss", **kw: setattr(
+                self, "NN_algorithm",
+                _TorchExactNN(self.feature_memory, n_neighbours),
+            ),
+        )
+        t_train = [
+            (torch.from_numpy(x), torch.from_numpy(y)) for x, y in env["train"]
+        ]
+        ev = ref_engine.HbirdEvaluation(
+            _TorchBackbone(env["w"]),
+            t_train,
+            num_classes=C,
+            n_neighbours=K,
+            augmentation_epoch=1,
+            device="cpu",
+            nn_method="faiss",
+            memory_size=N_TRAIN * self.K_SAMP,
+            dataset_size=N_TRAIN,
+        )
+        monkeypatch.setattr(torch, "rand", real_rand)
+        assert ev.num_sampled_features == self.K_SAMP
+        # one torch.rand(total_nonzero) call per training batch
+        assert len(draws) == N_TRAIN // BATCH
+        assert all(d.numel() == BATCH * S * S for d in draws)
+        return ev, draws
+
+    def test_bounded_bank_and_miou_match(
+        self, ref_engine, fixture_env, monkeypatch
+    ):
+        import jax
+
+        import hbird_tpu.hbird_eval as he
+        from hbird_tpu import HbirdEvaluation
+        from hbird_tpu.core.sampling import (
+            EMPTY_PATCH_SENTINEL, patch_sampling_scores,
+        )
+
+        env = fixture_env
+        ref_ev, draws = self._run_reference_bounded(
+            ref_engine, env, monkeypatch
+        )
+
+        # Inject the recorded noise: same (B, S*S) layout the reference
+        # scatters its flat draw into (all patches non-empty after the
+        # 255->0 fold, so the flat sequence is exactly row-major).
+        calls = iter(draws)
+
+        def injected_sample(key, feats, pgt, ncls, k):
+            r = np.asarray(next(calls), np.float32)
+            noise = jnp.asarray(r.reshape(feats.shape[0], feats.shape[1]))
+            scores, nonzero = patch_sampling_scores(pgt, ncls)
+            perturbed = jnp.where(
+                nonzero, scores * noise, EMPTY_PATCH_SENTINEL
+            )
+            _, idx = jax.lax.top_k(-perturbed, k)
+            sampled = jnp.take_along_axis(feats, idx[..., None], axis=1)
+            return sampled, idx.astype(jnp.int32)
+
+        monkeypatch.setattr(he, "sample_patches", injected_sample)
+        fe = _jax_extractor(env["w"])
+        fe.jittable = False  # eager steps: the injection consumes one
+        # recorded draw per batch (a jitted step would bake the first)
+        ours = HbirdEvaluation(
+            fe,
+            list(env["train"]),
+            num_classes=C,
+            n_neighbours=K,
+            augmentation_epoch=1,
+            nn_method="faiss",
+            memory_size=N_TRAIN * self.K_SAMP,
+            dataset_size=N_TRAIN,
+        )
+        # Identical patch selection -> labels match exactly; features to
+        # fp tolerance (torch vs XLA matmul order inside the backbone).
+        np.testing.assert_array_equal(
+            np.asarray(ours.label_memory), ref_ev.label_memory.numpy()
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours.feature_memory),
+            ref_ev.feature_memory.numpy(),
+            rtol=2e-5, atol=2e-6,
+        )
+        ref_miou = float(ref_ev.evaluate(
+            [(torch.from_numpy(x), torch.from_numpy(y)) for x, y in env["val"]],
+            S, ignore_index=255,
+        ))
+        miou = float(ours.evaluate(list(env["val"]), S, ignore_index=255))
+        assert abs(miou - ref_miou) <= 5e-3, (miou, ref_miou)
