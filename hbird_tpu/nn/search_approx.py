@@ -52,6 +52,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         bank_scale: Optional[float] = None,
         tree_slack: float = 1.3,
         shard_probe: str = "split",
+        full_lloyd_iters: int = 0,
         tree_refine_rounds: int = 2,
         tree_sample_rows: int = 131072,
         kmeans_iters: int = 12,
@@ -120,6 +121,11 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         # up to n_probe leaves PER shard (recall >= single-chip, up to p×
         # the scan). nn-param shard_probe=full selects the latter.
         self.shard_probe = str(shard_probe)
+        # Meshed-tree builds only: extra Lloyd iterations over the FULL
+        # row-sharded bank (psum k-means, sharded_ivf.sharded_kmeans)
+        # after the sample training — 0 keeps centroid parity with the
+        # single-device (sample-trained) build.
+        self.full_lloyd_iters = int(full_lloyd_iters)
         self.tree_refine_rounds = int(tree_refine_rounds)
         self.tree_sample_rows = int(tree_sample_rows)
         self.kmeans_iters = int(kmeans_iters)
@@ -225,6 +231,92 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         self.leaf_valid = jnp.asarray(fill, jnp.int32)
         self.valid_rows = m
 
+    def _build_tree_sharded(self, bank_in, labels, store):
+        """Distributed tree build (mesh bank axis > 1): the bank is
+        row-sharded over the mesh BEFORE any tree work and never
+        materializes on one device — shard-local assignment, the same
+        host greedy layout as the single-device build (slot placement
+        bit-identical), and a ppermute ring scatter into the leaf slabs
+        (parallel/sharded_ivf.build_ivf_sharded)."""
+        from hbird_tpu.ops.ivf import (
+            refine_centroids_balanced, train_centroids,
+        )
+        from hbird_tpu.parallel.sharded_ivf import (
+            build_ivf_sharded, shard_rows,
+        )
+
+        mesh = self.mesh
+        if self.use_int8:
+            store = jnp.int8
+            if isinstance(bank_in, jax.Array) and bank_in.dtype == jnp.int8:
+                assert self._bank_scale is not None, (
+                    "int8 bank injection requires bank_scale"
+                )
+                bank_s, m = shard_rows(bank_in, mesh)
+            else:
+                bank_f, m = shard_rows(
+                    bank_in
+                    if isinstance(bank_in, jax.Array)
+                    else np.asarray(bank_in, np.float32),
+                    mesh,
+                )
+                bank_f = bank_f.astype(jnp.float32)
+                # Global abs-max over the sharded rows -> replicated scalar.
+                self._bank_scale = (
+                    jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
+                )
+                bank_s = jnp.clip(
+                    jnp.round(bank_f / self._bank_scale), -127, 127
+                ).astype(jnp.int8)
+                del bank_f
+        else:
+            bank_s, m = shard_rows(
+                bank_in
+                if isinstance(bank_in, jax.Array)
+                else np.asarray(bank_in, np.float32),
+                mesh,
+            )
+            bank_s = bank_s.astype(store)
+        n_leaves, cap = self._tree_geometry(m)
+        self._n_leaves, self._cap = n_leaves, cap
+        rng = np.random.default_rng(self.seed)
+        n_sample = min(m, self.tree_sample_rows)
+        # Cross-shard gather of the (small) training sample — replicated.
+        sample = bank_s[
+            jnp.asarray(rng.choice(m, n_sample, replace=False))
+        ].astype(jnp.float32)
+        self.centroids = train_centroids(
+            sample, n_leaves, iters=self.kmeans_iters,
+            key=jax.random.PRNGKey(self.seed),
+        )
+        if self.full_lloyd_iters > 0:
+            # Full-bank Lloyd (psum over the bank axis) BEFORE the
+            # capacity refinement — plain Lloyd after it would undo the
+            # capacity-respecting pull (measured: recall 0.85 -> 0.80).
+            from hbird_tpu.parallel.sharded_ivf import sharded_kmeans
+
+            self.centroids = sharded_kmeans(
+                bank_s, self.centroids, mesh,
+                iters=self.full_lloyd_iters, valid_rows=m,
+            )
+        if self.tree_refine_rounds > 0:
+            self.centroids = refine_centroids_balanced(
+                sample, self.centroids, slack=self.tree_slack,
+                rounds=self.tree_refine_rounds,
+            )
+        if labels is None:
+            labels = np.zeros((m, 1), np.float32)
+        parts = build_ivf_sharded(
+            bank_s, labels, self.centroids, n_leaves, cap, mesh,
+        )
+        self.centroids = parts["centroids"]
+        self.bank = parts["ivf_bank"]
+        self.labels = parts["ivf_labels"]
+        self.perm = jnp.asarray(parts["perm"], jnp.int32)
+        self.slots = jnp.asarray(parts["slots"], jnp.int32)
+        self.leaf_valid = jnp.asarray(parts["leaf_fill"], jnp.int32)
+        self.valid_rows = m
+
     def _add_features_to_index(self):
         store = jnp.bfloat16 if self.use_fp16 else jnp.float32
         bank_in = self.feature_memory
@@ -235,25 +327,17 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             )
             if not meshed:
                 self.mesh = None
-            self._build_tree(bank_in, labels, store)
-            if meshed:
-                # Leaf slabs shard over the bank axis (tree + IndexShards;
-                # parallel/sharded_ivf.py). The layout itself is built on
-                # the default device then re-placed — fine up to one
-                # device's HBM; a distributed build is future work.
-                if self.num_reordering_candidates > self.n_neighbors:
-                    from hbird_tpu.utils.logging import get_logger
+                self._build_tree(bank_in, labels, store)
+                return
+            if self.num_reordering_candidates > self.n_neighbors:
+                from hbird_tpu.utils.logging import get_logger
 
-                    get_logger(__name__).warning(
-                        "num_reordering_candidates is not supported with a "
-                        "leaf-sharded tree; returned scores are the "
-                        "first-pass scan scores."
-                    )
-                from hbird_tpu.parallel.sharded_ivf import shard_ivf_state
-
-                self.bank, self.labels = shard_ivf_state(
-                    self.bank, self.labels, self.mesh
+                get_logger(__name__).warning(
+                    "num_reordering_candidates is not supported with a "
+                    "leaf-sharded tree; returned scores are the "
+                    "first-pass scan scores."
                 )
+            self._build_tree_sharded(bank_in, labels, store)
             return
         if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
             from hbird_tpu.parallel.sharded_knn import shard_bank

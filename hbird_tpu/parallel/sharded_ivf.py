@@ -25,7 +25,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hbird_tpu.ops.ivf import (
     coherent_query_order,
@@ -164,3 +165,302 @@ def sharded_ivf_knn_with_labels(
     if inv is not None:
         vals, idx, labels = vals[inv], idx[inv], labels[inv]
     return vals, idx, labels
+
+
+# ----------------------------------------------------------------------
+# Distributed tree BUILD (round 3): no single-device materialization of
+# the full bank anywhere in the pipeline. The bank lives row-sharded
+# over the mesh's bank axis from placement to leaf slabs:
+#
+#   1. k-means over the FULL sharded bank: shard-local assign + psum'd
+#      per-centroid sums/counts (sharded_kmeans) — Lloyd's over ICI.
+#   2. leaf assignment: shard-local argmax passes (sharded_assign_leaves);
+#      only the tiny (M, A) choices/scores land on host.
+#   3. balanced layout: the SAME host greedy as the single-device build
+#      (ops/ivf.balanced_layout) on those host-side choices — slot
+#      placement is bit-identical to an unsharded build.
+#   4. physical placement: a ppermute RING over the bank axis
+#      (ring_scatter_build). Each shard's rows visit every shard once;
+#      the owner scatters the rows destined for its leaf slab. Peak
+#      per-shard memory: ~3 row-shards + its slab; never the full bank.
+# ----------------------------------------------------------------------
+def _pad_rows_to(arr, rows):
+    if arr.shape[0] == rows:
+        return arr
+    pad = [(0, rows - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return (
+        jnp.pad(arr, pad) if isinstance(arr, jax.Array) else np.pad(arr, pad)
+    )
+
+
+def shard_rows(arr, mesh: Mesh, bank_axis: str = "bank"):
+    """Place (M, ...) host or device rows row-sharded over `bank_axis`,
+    zero-padding M up to a multiple of the axis size. Returns
+    (sharded array, original M)."""
+    p = mesh.shape[bank_axis]
+    m = arr.shape[0]
+    r = _round_up(m, p)
+    arr = _pad_rows_to(arr, r)
+    sharded = jax.device_put(arr, NamedSharding(mesh, P(bank_axis)))
+    return sharded, m
+
+
+def sharded_kmeans(
+    bank_sharded: jax.Array,
+    init_centroids: jax.Array,
+    mesh: Mesh,
+    *,
+    iters: int = 4,
+    bank_axis: str = "bank",
+    valid_rows: Optional[int] = None,
+    spherical: bool = True,
+) -> jax.Array:
+    """Lloyd's k-means over the full row-sharded bank.
+
+    Shard-local MXU assignment + one psum of per-centroid (sums, counts)
+    per iteration — the distributed twin of ops/ivf.train_centroids
+    (which runs on a replicated sample). Padding rows carry zero weight.
+
+    Returns (n_leaves, D) f32 centroids, replicated.
+    """
+    n_leaves, d = init_centroids.shape
+    r, d2 = bank_sharded.shape
+    assert d == d2, (init_centroids.shape, bank_sharded.shape)
+    m = valid_rows if valid_rows is not None else r
+    p = mesh.shape[bank_axis]
+    local = r // p
+
+    def body(x_l, w_l, c0):
+        x32 = x_l.astype(jnp.float32)
+
+        def step(c, _):
+            a = jnp.argmax(x32 @ c.T, axis=1)
+            sums = jax.ops.segment_sum(
+                x32 * w_l[:, None], a, num_segments=n_leaves
+            )
+            cnt = jax.ops.segment_sum(w_l, a, num_segments=n_leaves)
+            sums = jax.lax.psum(sums, bank_axis)
+            cnt = jax.lax.psum(cnt, bank_axis)[:, None]
+            newc = jnp.where(cnt > 0, sums / jnp.maximum(cnt, 1.0), c)
+            if spherical:
+                newc = newc / jnp.maximum(
+                    jnp.linalg.norm(newc, axis=1, keepdims=True), 1e-12
+                )
+            return newc, None
+
+        c, _ = jax.lax.scan(step, c0, None, length=iters)
+        return c
+
+    # Row weights: 1 for real rows, 0 for the shard-padding tail.
+    i_global = jnp.arange(r, dtype=jnp.int32)
+    weights = (i_global < m).astype(jnp.float32)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(bank_axis), P(bank_axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(bank_sharded, weights, init_centroids.astype(jnp.float32))
+
+
+def sharded_assign_leaves(
+    bank_sharded: jax.Array,
+    centroids: jax.Array,
+    mesh: Mesh,
+    *,
+    n_choices: int = 3,
+    bank_axis: str = "bank",
+    chunk_rows: int = 1 << 16,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-`n_choices` leaf ids + scores per row, computed shard-locally
+    (lax.scan over row chunks inside shard_map so the (rows, n_leaves)
+    score block never exceeds chunk_rows x n_leaves per shard).
+
+    Returns host (R, A) int32 choices and (R, A) f32 scores in global row
+    order (R includes any shard padding; slice to the real row count)."""
+    r, d = bank_sharded.shape
+    p = mesh.shape[bank_axis]
+    local = r // p
+    a = min(n_choices, centroids.shape[0])
+    chunk = min(chunk_rows, local)
+    n_chunks = -(-local // chunk)
+    pad_local = n_chunks * chunk
+
+    c_t = centroids.T.astype(jnp.float32)
+
+    def body(x_l, ct):
+        x_p = _pad_rows_to(x_l, pad_local)
+        blocks = x_p.reshape(n_chunks, chunk, d)
+
+        def f(_, blk):
+            s = blk.astype(jnp.float32) @ ct
+            ids, tops = [], []
+            for _i in range(a):
+                top = jnp.argmax(s, axis=1)
+                ids.append(top.astype(jnp.int32))
+                tops.append(jnp.max(s, axis=1))
+                s = jnp.where(
+                    jax.nn.one_hot(top, s.shape[1], dtype=bool), -jnp.inf, s
+                )
+            return None, (jnp.stack(ids, 1), jnp.stack(tops, 1))
+
+        _, (ids, sc) = jax.lax.scan(f, None, blocks)
+        return ids.reshape(pad_local, a)[:local], sc.reshape(pad_local, a)[:local]
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(bank_axis), P()),
+        out_specs=(P(bank_axis), P(bank_axis)),
+        check_vma=False,
+    )
+    ids, sc = fn(bank_sharded, c_t)
+    return np.asarray(ids), np.asarray(sc)
+
+
+def ring_scatter_build(
+    bank_sharded: jax.Array,
+    labels_sharded: jax.Array,
+    slots: np.ndarray,
+    n_slots: int,
+    mesh: Mesh,
+    *,
+    bank_axis: str = "bank",
+):
+    """Scatter row-sharded (rows, labels) into the leaf-slab layout,
+    slab-sharded over the same axis, WITHOUT gathering the bank anywhere.
+
+    A p-step ring: each shard's (rows, labels, slots) buffer ppermutes
+    around the bank axis; at every step each shard scatters the rows
+    whose global slot falls inside its slab (out-of-slab rows land on a
+    throwaway pad row). slots entries of -1 (padding) never place.
+
+    Returns (ivf_bank (n_slots, D), ivf_labels (n_slots, C)), sharded.
+    """
+    p = mesh.shape[bank_axis]
+    assert n_slots % p == 0, (n_slots, p)
+    local_slots = n_slots // p
+    r = bank_sharded.shape[0]
+    slots_np = np.asarray(slots, np.int32)
+    if slots_np.shape[0] < r:
+        # Shard-padding rows must carry slot -1 (never placed) — a zero
+        # pad would overwrite real slot 0 with a zero row.
+        slots_np = np.concatenate(
+            [slots_np, np.full(r - slots_np.shape[0], -1, np.int32)]
+        )
+    slots_j = jax.device_put(slots_np, NamedSharding(mesh, P(bank_axis)))
+
+    def body(rows, labs, sl):
+        i = jax.lax.axis_index(bank_axis)
+        start = i * local_slots
+
+        def scat(state, payload):
+            slab, lslab = state
+            rr, ll, ss = payload
+            loc = ss - start
+            ok = (loc >= 0) & (loc < local_slots)
+            loc = jnp.where(ok, loc, local_slots)  # dump row
+            return slab.at[loc].set(rr), lslab.at[loc].set(ll)
+
+        slab = jnp.zeros((local_slots + 1, rows.shape[1]), rows.dtype)
+        lslab = jnp.zeros((local_slots + 1, labs.shape[1]), jnp.float32)
+        state = scat((slab, lslab), (rows, labs.astype(jnp.float32), sl))
+
+        perm = [(j, (j + 1) % p) for j in range(p)]
+
+        def ring_step(carry, _):
+            state, rr, ll, ss = carry
+            rr = jax.lax.ppermute(rr, bank_axis, perm)
+            ll = jax.lax.ppermute(ll, bank_axis, perm)
+            ss = jax.lax.ppermute(ss, bank_axis, perm)
+            state = scat(state, (rr, ll, ss))
+            return (state, rr, ll, ss), None
+
+        (state, *_), _ = jax.lax.scan(
+            ring_step,
+            (state, rows, labs.astype(jnp.float32), sl),
+            None,
+            length=p - 1,
+        )
+        slab, lslab = state
+        return slab[:local_slots], lslab[:local_slots]
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(bank_axis), P(bank_axis), P(bank_axis)),
+        out_specs=(P(bank_axis), P(bank_axis)),
+        check_vma=False,
+    )
+    return fn(bank_sharded, labels_sharded, slots_j)
+
+
+def build_ivf_sharded(
+    bank,
+    labels,
+    centroids: jax.Array,
+    n_leaves: int,
+    cap: int,
+    mesh: Mesh,
+    *,
+    bank_axis: str = "bank",
+    n_choices: int = 3,
+    full_lloyd_iters: int = 0,
+):
+    """Distributed tree build: row-sharded bank -> leaf-slab-sharded IVF
+    arrays, with the slot placement bit-identical to the single-device
+    build (same host greedy on the same choices/scores).
+
+    Args:
+        bank: (M, D) host array or (already) row-sharded jax.Array.
+        labels: (M, C) or None.
+        centroids: (n_leaves, D) trained centroids (replicated; e.g. from
+            a sample via ops/ivf.train_centroids).
+        full_lloyd_iters: extra Lloyd iterations over the FULL sharded
+            bank via psum (sharded_kmeans) before assignment — the
+            distributed upgrade over sample-only training.
+
+    Returns dict(ivf_bank, ivf_labels (sharded), centroids, perm (np),
+        slots (np), leaf_fill (np), valid_rows).
+    """
+    m = bank.shape[0]
+    if isinstance(bank, jax.Array) and bank.sharding.is_equivalent_to(
+        NamedSharding(mesh, P(bank_axis)), bank.ndim
+    ):
+        bank_s = bank  # already row-sharded (e.g. a .bankdir mesh load)
+    else:
+        bank_s, m = shard_rows(bank, mesh, bank_axis)
+    if labels is None:
+        labels = np.zeros((m, 1), np.float32)
+    labels_s, _ = shard_rows(labels, mesh, bank_axis)
+
+    if full_lloyd_iters > 0:
+        centroids = sharded_kmeans(
+            bank_s, centroids, mesh, iters=full_lloyd_iters,
+            bank_axis=bank_axis, valid_rows=m,
+        )
+
+    choices, scores = sharded_assign_leaves(
+        bank_s, centroids, mesh, n_choices=n_choices, bank_axis=bank_axis
+    )
+    choices, scores = choices[:m], scores[:m]
+
+    from hbird_tpu.ops.ivf import balanced_layout
+
+    slots, fill = balanced_layout(choices, n_leaves, cap, scores=scores)
+    n_slots = n_leaves * cap
+    ivf_bank, ivf_labels = ring_scatter_build(
+        bank_s, labels_s, slots, n_slots, mesh, bank_axis=bank_axis
+    )
+    perm = np.full((n_slots,), -1, np.int32)
+    perm[slots] = np.arange(m, dtype=np.int32)
+    return dict(
+        ivf_bank=ivf_bank,
+        ivf_labels=ivf_labels,
+        centroids=centroids,
+        perm=perm,
+        slots=slots,
+        leaf_fill=fill,
+        valid_rows=m,
+    )

@@ -1,0 +1,219 @@
+"""Distributed IVF tree build (VERDICT r2 #6): psum k-means, shard-local
+assignment, host greedy layout parity, ppermute ring scatter — the bank
+never materializes on a single device."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hbird_tpu.ops.ivf import (
+    assign_leaves, balanced_layout, build_ivf_arrays, tree_layout,
+)
+from hbird_tpu.parallel import make_mesh
+from hbird_tpu.parallel.sharded_ivf import (
+    build_ivf_sharded, ring_scatter_build, shard_rows, sharded_assign_leaves,
+    sharded_kmeans,
+)
+
+
+def _clustered(m, d, n_clusters, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32) * 3
+    x = centers[rng.integers(0, n_clusters, m)]
+    x = x + rng.normal(size=(m, d)).astype(np.float32) * 0.3
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+class TestShardedKMeans:
+    def test_matches_single_device_lloyd(self):
+        m, d, n_leaves, iters = 1000, 16, 8, 5
+        x = _clustered(m, d, 12, seed=3)
+        rng = np.random.default_rng(0)
+        init = x[rng.choice(m, n_leaves, replace=False)]
+
+        mesh = make_mesh((4,), ("bank",))
+        x_s, m_real = shard_rows(x, mesh)
+        got = np.asarray(
+            sharded_kmeans(x_s, jnp.asarray(init), mesh, iters=iters,
+                           valid_rows=m_real)
+        )
+
+        # Single-device oracle: plain spherical Lloyd's, same init.
+        c = init.astype(np.float32)
+        for _ in range(iters):
+            a = np.argmax(x @ c.T, axis=1)
+            newc = c.copy()
+            for j in range(n_leaves):
+                rows = x[a == j]
+                if len(rows):
+                    v = rows.sum(0) / len(rows)
+                    newc[j] = v / max(np.linalg.norm(v), 1e-12)
+            c = newc
+        np.testing.assert_allclose(got, c, rtol=1e-4, atol=1e-5)
+
+    def test_padding_rows_ignored(self):
+        # 998 rows over 4 shards forces 2 zero-pad rows; the centroids
+        # must be unaffected by them.
+        m, d, n_leaves = 998, 16, 4
+        x = _clustered(m, d, 4, seed=5)
+        init = x[:n_leaves].copy()
+        mesh = make_mesh((4,), ("bank",))
+        x_s, m_real = shard_rows(x, mesh)
+        assert x_s.shape[0] != m  # padding actually happened
+        got = np.asarray(
+            sharded_kmeans(x_s, jnp.asarray(init), mesh, iters=3,
+                           valid_rows=m_real)
+        )
+        x_pad = np.pad(x, ((0, x_s.shape[0] - m), (0, 0)))
+        x_pad_s, _ = shard_rows(x_pad, mesh)
+        # Oracle: run on the padded bank WITH the correct valid_rows.
+        got2 = np.asarray(
+            sharded_kmeans(x_pad_s, jnp.asarray(init), mesh, iters=3,
+                           valid_rows=m)
+        )
+        np.testing.assert_allclose(got, got2, rtol=1e-6)
+
+
+class TestShardedBuildParity:
+    """The sharded build's layout must be bit-identical to the
+    single-device build (same greedy on the same choices/scores)."""
+
+    def setup_method(self, _):
+        self.m, self.d = 3000, 32
+        self.x = _clustered(self.m, self.d, 10, seed=7)
+        rng = np.random.default_rng(8)
+        self.labels = rng.random((self.m, 5)).astype(np.float32)
+        self.n_leaves, self.cap = tree_layout(self.m, 8)
+        # round leaves to the mesh axis like the backend does
+        self.n_leaves = ((self.n_leaves + 3) // 4) * 4
+        from hbird_tpu.ops.ivf import train_centroids
+
+        self.cent = train_centroids(
+            jnp.asarray(self.x), self.n_leaves, iters=6,
+            key=jax.random.PRNGKey(0),
+        )
+
+    def test_layout_and_slabs_match_single(self):
+        mesh = make_mesh((4,), ("bank",))
+        parts = build_ivf_sharded(
+            self.x, self.labels, self.cent, self.n_leaves, self.cap, mesh
+        )
+        # single-device reference
+        choices, scores = assign_leaves(
+            jnp.asarray(self.x), self.cent, n_choices=3, return_scores=True
+        )
+        slots, fill = balanced_layout(
+            choices, self.n_leaves, self.cap, scores=scores
+        )
+        ivf_bank, ivf_labels, perm = build_ivf_arrays(
+            jnp.asarray(self.x), jnp.asarray(self.labels), slots,
+            self.n_leaves, self.cap,
+        )
+        np.testing.assert_array_equal(parts["slots"], slots)
+        np.testing.assert_array_equal(parts["perm"], np.asarray(perm))
+        np.testing.assert_array_equal(parts["leaf_fill"], fill)
+        np.testing.assert_allclose(
+            np.asarray(parts["ivf_bank"]), np.asarray(ivf_bank),
+            rtol=1e-6, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(parts["ivf_labels"]), np.asarray(ivf_labels),
+            rtol=1e-6, atol=1e-7,
+        )
+
+    def test_output_is_sharded(self):
+        mesh = make_mesh((4,), ("bank",))
+        parts = build_ivf_sharded(
+            self.x, self.labels, self.cent, self.n_leaves, self.cap, mesh
+        )
+        assert parts["ivf_bank"].sharding.is_equivalent_to(
+            NamedSharding(mesh, P("bank")), 2
+        )
+        assert parts["ivf_labels"].sharding.is_equivalent_to(
+            NamedSharding(mesh, P("bank")), 2
+        )
+
+    def test_presharded_input_accepted(self):
+        mesh = make_mesh((4,), ("bank",))
+        x_s, _ = shard_rows(self.x, mesh)
+        parts = build_ivf_sharded(
+            x_s, self.labels, self.cent, self.n_leaves, self.cap, mesh
+        )
+        assert parts["valid_rows"] == self.m
+
+    def test_full_lloyd_refines_centroids(self):
+        mesh = make_mesh((4,), ("bank",))
+        parts = build_ivf_sharded(
+            self.x, self.labels, self.cent, self.n_leaves, self.cap, mesh,
+            full_lloyd_iters=3,
+        )
+        # refined centroids differ from the input and are unit-norm
+        got = np.asarray(parts["centroids"])
+        assert not np.allclose(got, np.asarray(self.cent))
+        np.testing.assert_allclose(
+            np.linalg.norm(got, axis=1), 1.0, atol=1e-5
+        )
+
+
+class TestRingScatter:
+    def test_ragged_rows_and_spill_padding(self):
+        # 37 rows, 2 slots-worth of slabs over 4 shards; -1 slots dropped.
+        mesh = make_mesh((4,), ("bank",))
+        rng = np.random.default_rng(1)
+        m, d, n_slots = 37, 8, 40
+        rows = rng.normal(size=(m, d)).astype(np.float32)
+        labs = rng.random((m, 3)).astype(np.float32)
+        slots = rng.permutation(n_slots)[:m].astype(np.int64)
+        slots[5] = -1  # dropped row
+        rows_s, _ = shard_rows(rows, mesh)
+        labs_s, _ = shard_rows(labs, mesh)
+        bank, labels = ring_scatter_build(
+            rows_s, labs_s, slots, n_slots, mesh
+        )
+        bank, labels = np.asarray(bank), np.asarray(labels)
+        for i in range(m):
+            if slots[i] < 0:
+                continue
+            np.testing.assert_array_equal(bank[slots[i]], rows[i])
+            np.testing.assert_allclose(labels[slots[i]], labs[i], rtol=1e-6)
+        untouched = sorted(set(range(n_slots)) - set(slots[slots >= 0]))
+        assert (bank[untouched] == 0).all()
+
+
+class TestMeshedBackendUsesShardedBuild:
+    def test_backend_search_after_sharded_build(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        x = _clustered(4000, 32, 8, seed=11)
+        rng = np.random.default_rng(12)
+        labels = rng.random((4000, 6)).astype(np.float32)
+        q = jnp.asarray(
+            x[rng.integers(0, 4000, 200)]
+            + 0.02 * rng.normal(size=(200, 32)).astype(np.float32)
+        )
+        mesh = make_mesh((4,), ("bank",))
+        nn = NearestNeighborSearchApprox(
+            x, n_neighbors=10, label_memory=jnp.asarray(labels),
+            use_tree=True, mesh=mesh, num_leaves=12, num_leaves_to_search=6,
+            query_block=64, full_lloyd_iters=2,
+        )
+        # the slabs must actually be mesh-sharded (not single-device)
+        assert nn.bank.sharding.is_equivalent_to(
+            NamedSharding(mesh, P("bank")), 2
+        )
+        vals, idx, labs = nn.search_with_labels(q, 10)
+        idx = np.asarray(idx)
+        assert (idx >= 0).all() and (idx < 4000).all()
+        np.testing.assert_allclose(np.asarray(labs), labels[idx], atol=1e-6)
+        exact_idx = np.argsort(-(np.asarray(q) @ x.T), axis=1)[:, :10]
+        recall = np.mean([
+            len(set(idx[i]) & set(exact_idx[i])) / 10 for i in range(len(idx))
+        ])
+        # 0.796 measured (unmeshed 0.824 — the documented split-probe
+        # delta); the sharded BUILD itself is layout-identical to the
+        # single build (TestShardedBuildParity).
+        assert recall > 0.75, recall
