@@ -184,6 +184,57 @@ def _carry_merge(s_ref, vals_ref, idx_ref, *, base, k_pad):
         jax.lax.while_loop(cond, body, (jnp.int32(0), m0))
 
 
+def _carry_nw_merge(s_ref, vals_ref, idx_ref, *, base, k_pad):
+    """No-write insertion merge: the knockout WRITE (8 MB of VMEM traffic
+    per extraction at 256x8192 f32) is replaced by LEXICOGRAPHIC
+    exclusion — the next candidate is the max over elements strictly
+    below the last extracted (value, col) pair, so the scores tile is
+    only ever READ. Extraction order for tied values is ascending col,
+    identical to the knockout variants' lowest-col-first order.
+
+    Motivation (round 3 cost model): carry's per-extraction cost
+    measured ~18.5 us = tile read + knockout write + reduction passes;
+    dropping the write removes ~8 MB/extraction of VMEM traffic.
+    """
+    q, block_m = s_ref.shape
+    col_l = jax.lax.broadcasted_iota(jnp.int32, (q, block_m), 1)
+    big = jnp.int32(2**30)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+
+    s0 = s_ref[...]
+    m0 = jnp.max(s0, axis=1, keepdims=True)  # (Q, 1)
+    c0 = jnp.min(jnp.where(s0 >= m0, col_l, big), axis=1, keepdims=True)
+
+    def cond(carry):
+        i, cur_v, _cur_c = carry
+        run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)
+        return jnp.logical_and(i < k_pad, jnp.any(cur_v > run_min))
+
+    def body(carry):
+        i, cur_v, cur_c = carry
+        run_min = jnp.min(vals_ref[...], axis=1, keepdims=True)
+        better = cur_v > run_min
+        min_slot = jnp.min(
+            jnp.where(vals_ref[...] <= run_min, slot_ids, big),
+            axis=1, keepdims=True,
+        )
+        do = better & (slot_ids == min_slot)
+        vals_ref[...] = jnp.where(do, cur_v, vals_ref[...])
+        idx_ref[...] = jnp.where(do, cur_c + base, idx_ref[...])
+        # Next candidate: max over elements lexicographically below
+        # (cur_v, cur_c) — one streaming traversal, no write-back.
+        s = s_ref[...]
+        elig = (s < cur_v) | ((s == cur_v) & (col_l > cur_c))
+        sm = jnp.where(elig, s, NEG_INF)
+        nv = jnp.max(sm, axis=1, keepdims=True)
+        nc = jnp.min(jnp.where(sm >= nv, col_l, big), axis=1, keepdims=True)
+        return i + 1, nv, nc
+
+    @pl.when(jnp.any(m0 > jnp.min(vals_ref[...], axis=1, keepdims=True)))
+    def _merge_nw():
+        jax.lax.while_loop(cond, body, (jnp.int32(0), m0, c0))
+
+
 def _knn_kernel(
     valid_ref,  # SMEM (1,) int32 — number of real bank rows
     q_ref,  # (BLOCK_Q, D)
@@ -316,6 +367,8 @@ def _knn_kernel(
         )
     elif merge_mode == "carry":
         _carry_merge(s_ref, vals_ref, idx_ref, base=base, k_pad=k_pad)
+    elif merge_mode == "carry_nw":
+        _carry_nw_merge(s_ref, vals_ref, idx_ref, base=base, k_pad=k_pad)
     elif merge_mode == "carry2":
         # carry variant extracting TWO candidates per tile read/write:
         # amortizes the expensive full-tile load + store over 2 insertions.
@@ -395,7 +448,9 @@ def default_merge_mode() -> str:
 
 
 def set_default_merge_mode(mode: str) -> None:
-    assert mode in ("single", "bucket", "carry", "carry2", "carry_lazy"), mode
+    assert mode in (
+        "single", "bucket", "carry", "carry2", "carry_lazy", "carry_nw"
+    ), mode
     _DEFAULT_MERGE_MODE[0] = mode
 
 
@@ -526,7 +581,9 @@ def _pallas_knn_jit(
     # passes do. 'carry' at block_q=256 remains the production default.
     merge_chunk = min(merge_chunk or block_m, block_m)
     assert block_m % merge_chunk == 0, (block_m, merge_chunk)
-    assert merge_mode in ("single", "bucket", "carry", "carry2", "carry_lazy"), merge_mode
+    assert merge_mode in (
+        "single", "bucket", "carry", "carry2", "carry_lazy", "carry_nw"
+    ), merge_mode
     if merge_mode == "bucket":
         n_buckets = min(n_buckets, block_m)
         assert block_m % n_buckets == 0, (block_m, n_buckets)

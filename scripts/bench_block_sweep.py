@@ -55,11 +55,19 @@ def main():
     ref_idx = np.sort(np.asarray(ref_idx), -1)
 
     results = {}
-    configs = []
-    for bq in (64, 128, 256):
-        for bm in (4096, 8192, 16384):
-            configs.append((bq, bm, "carry"))
-    configs.append((128, 8192, "carry_lazy"))
+    import os
+    env_cfg = os.environ.get("SWEEP_CONFIGS")
+    if env_cfg:
+        configs = []
+        for part in env_cfg.split(";"):
+            mode, bq, bm = part.split(",")
+            configs.append((int(bq), int(bm), mode))
+    else:
+        configs = []
+        for bq in (64, 128, 256):
+            for bm in (4096, 8192, 16384):
+                configs.append((bq, bm, "carry"))
+        configs.append((128, 8192, "carry_lazy"))
 
     for bq, bm, mode in configs:
         tag = f"{mode} q{bq} m{bm}"

@@ -242,7 +242,7 @@ class TestBucketMerge:
 class TestCarryMerges:
     """carry (default) and carry2 variants vs the oracle (interpret)."""
 
-    @pytest.mark.parametrize("mode", ["carry", "carry2"])
+    @pytest.mark.parametrize("mode", ["carry", "carry2", "carry_nw", "carry_lazy"])
     def test_matches_exact(self, mode):
         from hbird_tpu.ops.knn import exact_knn
         from hbird_tpu.ops.knn_pallas import pallas_knn
@@ -260,7 +260,7 @@ class TestCarryMerges:
             np.sort(np.asarray(idx), -1), np.sort(np.asarray(ri), -1)
         )
 
-    @pytest.mark.parametrize("mode", ["carry", "carry2"])
+    @pytest.mark.parametrize("mode", ["carry", "carry2", "carry_nw", "carry_lazy"])
     def test_ties_and_valid_rows(self, mode):
         from hbird_tpu.ops.knn import exact_knn
         from hbird_tpu.ops.knn_pallas import pallas_knn
