@@ -129,6 +129,43 @@ miou = hbird_evaluation(
 print(f"mIoU = {float(miou):.4f}")"""))
 
 cells.append(nbf.v4.new_markdown_cell("""\
+### Interpreting the number
+
+The metric averages IoU over all **21** VOC classes (reference
+semantics), but this fixture only uses 5 of them + background — absent
+classes score 0 — so the interesting quantity is mIoU relative to the
+**perfect-label-transfer ceiling**: push the ground-truth soft labels
+through the same patchify → bilinear-upsample → argmax path and score
+that. Patch-grid boundary error is the only loss at the ceiling; the
+retrieval pipeline should land close to it."""))
+
+cells.append(nbf.v4.new_code_cell("""\
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hbird_tpu.core import patch_soft_labels, patchify_gt
+from hbird_tpu.data import get_dataset
+from hbird_tpu.data.transforms import get_hbird_val_transforms
+from hbird_tpu.utils.eval_metrics import PredsmIoU
+
+va = get_hbird_val_transforms(INPUT)
+ds, _ = get_dataset("voc", data_dir, 4, 0, va, va, None, None)
+metric = PredsmIoU(21, 21, ignore_index=255)
+for x, y in ds.val_dataloader():
+    ids = jnp.asarray((np.asarray(y) * 255).round().astype(np.int32))
+    lab = patch_soft_labels(patchify_gt(ids, PATCH), 21)
+    lh = jnp.transpose(lab, (0, 3, 1, 2))
+    up = jax.image.resize(
+        lh, (lh.shape[0], 21, INPUT, INPUT), method="bilinear",
+        antialias=False,
+    )
+    metric.update(np.asarray(ids)[:, 0], np.asarray(jnp.argmax(up, axis=1)))
+ceiling = metric.compute(is_global_zero=True)[0]
+print(f"mIoU = {float(miou):.4f} of ceiling {float(ceiling):.4f} "
+      f"-> {float(miou)/float(ceiling):.0%} of perfect label transfer")"""))
+
+cells.append(nbf.v4.new_markdown_cell("""\
 ## 4. The production configuration
 
 With a real backbone and dataset the call looks like this (identical to
