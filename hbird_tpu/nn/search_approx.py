@@ -317,6 +317,68 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         self.leaf_valid = jnp.asarray(parts["leaf_fill"], jnp.int32)
         self.valid_rows = m
 
+    @classmethod
+    def from_tree_state(
+        cls,
+        ivf_bank,
+        ivf_labels,
+        centroids,
+        leaf_valid,
+        perm,
+        slots,
+        *,
+        cap: int,
+        valid_rows: int,
+        n_neighbors: int = 30,
+        bank_scale=None,
+        mesh=None,
+        **kwargs,
+    ):
+        """Construct the tree backend from PREBUILT leaf slabs, skipping
+        the flat-bank build entirely.
+
+        For pipelines that stream the bank (slab generators, .bankdir
+        loads) and scatter directly into the leaf layout — at 10.24M
+        int8 rows the flat bank (7.9 GB) plus the slab layout (9.1 GB)
+        cannot coexist on a 16 GB chip, so the build must never hold
+        both (scripts/bench_northstar.py --nn-method ivf).
+        """
+        self = cls.__new__(cls)
+        n_slots = ivf_bank.shape[0]
+        assert n_slots % cap == 0, (n_slots, cap)
+        kwargs.setdefault("num_leaves", n_slots // cap)
+        kwargs.setdefault("use_tree", True)
+        kwargs.setdefault("use_int8", ivf_bank.dtype == jnp.int8)
+        if kwargs["use_int8"]:
+            kwargs.setdefault("bank_scale", bank_scale)
+        # Route through __init__ machinery minus the index build: set the
+        # config fields via a tiny dummy, then install the real state.
+        cfg = cls(
+            np.zeros((2, ivf_bank.shape[1]), np.float32),
+            n_neighbors=n_neighbors,
+            label_memory=np.zeros((2, ivf_labels.shape[1]), np.float32),
+            mesh=mesh,
+            **kwargs,
+        )
+        self.__dict__.update(cfg.__dict__)
+        self.feature_memory = None
+        self.bank = ivf_bank
+        self.labels = (
+            ivf_labels
+            if ivf_labels.dtype == jnp.float32
+            else ivf_labels.astype(jnp.float32)
+        )
+        self.centroids = jnp.asarray(centroids, jnp.float32)
+        self.leaf_valid = jnp.asarray(leaf_valid, jnp.int32)
+        self.perm = jnp.asarray(perm, jnp.int32)
+        self.slots = jnp.asarray(slots, jnp.int32)
+        self._n_leaves = n_slots // cap
+        self._cap = cap
+        self.valid_rows = int(valid_rows)
+        if bank_scale is not None:
+            self._bank_scale = jnp.float32(bank_scale)
+        return self
+
     def _add_features_to_index(self):
         store = jnp.bfloat16 if self.use_fp16 else jnp.float32
         bank_in = self.feature_memory

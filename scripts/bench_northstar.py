@@ -100,10 +100,13 @@ def main():
     # would be 31 GB), so build it int8 directly, slab by slab, with a
     # fixed global scale (unit-norm rows: |component| <~ 0.2) — exactly
     # the backend's global-scale symmetric scheme.
-    key = jax.random.PRNGKey(1)
     # Small slabs: the f32 generation temps (normal + unit-norm division)
     # cost ~2 x slab x d x 4B on top of the growing int8 bank.
     slab_rows = 512_000
+    slab_keys = [
+        jax.random.fold_in(jax.random.PRNGKey(1), i)
+        for i in range(-(-args.bank_rows // slab_rows))
+    ]
 
     import functools
 
@@ -115,42 +118,109 @@ def main():
             return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
         return x.astype(jnp.bfloat16)
 
-    # Donated in-place writes: concatenating slabs would double peak HBM
-    # (slabs + output) and OOM the 16 GB chip at 10.24M rows.
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def write(buf, slab, start):
-        return jax.lax.dynamic_update_slice(buf, slab, (start, 0))
+    @jax.jit
+    def make_label_slab(sub, n_static=slab_rows):
+        u = jax.random.uniform(sub, (n_static, args.num_classes), jnp.float32)
+        return u / jnp.sum(u, axis=1, keepdims=True)
 
-    bank = jnp.zeros(
-        (args.bank_rows, d), jnp.int8 if use_int8 else jnp.bfloat16
-    )
-    for i in range(0, args.bank_rows, slab_rows):
-        key, sub = jax.random.split(key)
-        n = min(slab_rows, args.bank_rows - i)
-        bank = write(bank, make_slab(sub)[:n], jnp.int32(i))
-    # Cheap normalized soft labels (dirichlet's gamma sampler allocates
-    # several full-size f32 temps; uniform+normalize needs only one).
-    lab_u = jax.random.uniform(
-        jax.random.PRNGKey(2), (args.bank_rows, args.num_classes), jnp.float32
-    )
-    labels = lab_u / jnp.sum(lab_u, axis=1, keepdims=True)
-    del lab_u
-
-    # Install the pre-quantized bank directly into the backend (its own
-    # int8 path quantizes FROM f32, which cannot exist at this scale).
     if args.nn_method == "ivf":
+        # STREAMED two-phase tree build: the 7.9 GB flat bank and the
+        # 9.1 GB leaf layout cannot coexist on a 16 GB chip (measured:
+        # OOM by 131 MB at the scatter), and the slabs are seeded — so
+        # the flat bank NEVER exists. Phase A regenerates each slab to
+        # assign leaves; after the host greedy layout, phase B
+        # regenerates them again and scatters straight into the slabs.
         from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+        from hbird_tpu.ops.ivf import (
+            assign_leaves, balanced_layout, refine_centroids_balanced,
+            train_centroids, tree_layout,
+        )
 
-        # Rebuild the tree backend from the injected int8 bank: k-means,
-        # assignment and the leaf scatter all run on-device.
-        nn = NearestNeighborSearchApprox(
-            bank, n_neighbors=args.k, label_memory=labels,
-            use_tree=True, **nn_params,
+        n_leaves, cap = tree_layout(
+            args.bank_rows, args.num_leaves, slack=args.tree_slack
+        )
+        n_slots = n_leaves * cap
+        sample = make_slab(slab_keys[0])[:131072].astype(jnp.float32)
+        cent = train_centroids(
+            sample, n_leaves, iters=12, key=jax.random.PRNGKey(0)
+        )
+        cent = refine_centroids_balanced(
+            sample, cent, slack=args.tree_slack, rounds=2
+        )
+        del sample
+        choices = np.empty((args.bank_rows, 3), np.int32)
+        cscores = np.empty((args.bank_rows, 3), np.float32)
+        for j, sub in enumerate(slab_keys):
+            i = j * slab_rows
+            n = min(slab_rows, args.bank_rows - i)
+            ch, sc = assign_leaves(
+                make_slab(sub)[:n], cent, n_choices=3, return_scores=True
+            )
+            choices[i:i + n], cscores[i:i + n] = ch, sc
+        print(f"assign done ({time.time()-t0:.1f}s); layout...", flush=True)
+        slots, fill = balanced_layout(choices, n_leaves, cap, scores=cscores)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def scatter_slab(buf, lbuf, slab, lslab, sl):
+            return buf.at[sl].set(slab), lbuf.at[sl].set(lslab)
+
+        ivf_bank = jnp.zeros(
+            (n_slots, d), jnp.int8 if use_int8 else jnp.bfloat16
+        )
+        ivf_labels = jnp.zeros((n_slots, args.num_classes), jnp.float32)
+        for j, sub in enumerate(slab_keys):
+            i = j * slab_rows
+            n = min(slab_rows, args.bank_rows - i)
+            sl = jnp.asarray(slots[i:i + n], jnp.int32)
+            ivf_bank, ivf_labels = scatter_slab(
+                ivf_bank, ivf_labels, make_slab(sub)[:n],
+                make_label_slab(jax.random.fold_in(sub, 7))[:n], sl,
+            )
+        perm = np.full((n_slots,), -1, np.int32)
+        perm[slots] = np.arange(args.bank_rows, dtype=np.int32)
+        nn = NearestNeighborSearchApprox.from_tree_state(
+            ivf_bank, ivf_labels, cent, fill, perm, slots,
+            cap=cap, valid_rows=args.bank_rows, n_neighbors=args.k,
+            bank_scale=scale if use_int8 else None,
+            num_leaves=args.num_leaves,
+            num_leaves_to_search=args.n_probe, tree_slack=args.tree_slack,
+            use_int8=use_int8,
         )
         ev.NN_algorithm = nn
-        extra = (f"; tree {nn._n_leaves} leaves x cap {nn._cap} "
-                 f"(+{nn.bank.nbytes/1e9:.1f} GB ivf layout)")
+        ev.feature_memory = None
+        ev.label_memory = None
+        jax.block_until_ready(nn.bank)
+        print(f"bank + index ready ({time.time()-t0:.1f}s, "
+              f"{nn.bank.nbytes/1e9:.1f} GB ivf layout on chip; tree "
+              f"{n_leaves} leaves x cap {cap}; flat bank never "
+              "materialized)", flush=True)
     else:
+        # Donated in-place writes: concatenating slabs would double peak
+        # HBM (slabs + output) and OOM the 16 GB chip at 10.24M rows.
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def write(buf, slab, start):
+            return jax.lax.dynamic_update_slice(buf, slab, (start, 0))
+
+        bank = jnp.zeros(
+            (args.bank_rows, d), jnp.int8 if use_int8 else jnp.bfloat16
+        )
+        for j, sub in enumerate(slab_keys):
+            i = j * slab_rows
+            n = min(slab_rows, args.bank_rows - i)
+            bank = write(bank, make_slab(sub)[:n], jnp.int32(i))
+        # Cheap normalized soft labels (dirichlet's gamma sampler
+        # allocates several full-size f32 temps; uniform+normalize needs
+        # only one).
+        lab_u = jax.random.uniform(
+            jax.random.PRNGKey(2), (args.bank_rows, args.num_classes),
+            jnp.float32,
+        )
+        labels = lab_u / jnp.sum(lab_u, axis=1, keepdims=True)
+        del lab_u
+
+        # Install the pre-quantized bank directly into the backend (its
+        # own int8 path quantizes FROM f32, which cannot exist at this
+        # scale).
         nn = ev.NN_algorithm
         nn.bank = bank
         nn.labels = labels
@@ -158,12 +228,11 @@ def main():
         nn.rerank_bank = None
         if use_int8:
             nn._bank_scale = jnp.float32(scale)
-        extra = ""
-    ev.feature_memory = bank
-    ev.label_memory = labels
-    jax.block_until_ready(nn.bank)
-    print(f"bank + index ready ({time.time()-t0:.1f}s, "
-          f"{bank.nbytes/1e9:.1f} GB on chip{extra})", flush=True)
+        ev.feature_memory = bank
+        ev.label_memory = labels
+        jax.block_until_ready(nn.bank)
+        print(f"bank + index ready ({time.time()-t0:.1f}s, "
+              f"{bank.nbytes/1e9:.1f} GB on chip)", flush=True)
 
     def val_loader():
         r = np.random.default_rng(3)

@@ -539,3 +539,39 @@ class TestLayoutFuzz:
             within = slots % cap
             assert (within < fill[leaf]).all(), seed
             assert fill.sum() == m and (fill <= cap).all(), seed
+
+
+class TestFromTreeState:
+    """from_tree_state: prebuilt-slab injection must search identically
+    to the backend that built the slabs (streamed-build entry point)."""
+
+    def test_matches_builder_backend(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        x, _ = mixture_bank(3000, 32, 5, seed=17)
+        rng = np.random.default_rng(18)
+        labels = rng.random((3000, 6)).astype(np.float32)
+        q = jnp.asarray(x[rng.integers(0, 3000, 128)])
+        built = NearestNeighborSearchApprox(
+            x, n_neighbors=10, label_memory=jnp.asarray(labels),
+            use_tree=True, num_leaves=10, num_leaves_to_search=5,
+            query_block=64,
+        )
+        injected = NearestNeighborSearchApprox.from_tree_state(
+            built.bank, built.labels, built.centroids, built.leaf_valid,
+            np.asarray(built.perm), np.asarray(built.slots),
+            cap=built._cap, valid_rows=built.valid_rows, n_neighbors=10,
+            num_leaves=10, num_leaves_to_search=5, query_block=64,
+            use_int8=False,
+        )
+        v1, i1, l1 = built.search_with_labels(q, 10)
+        v2, i2, l2 = injected.search_with_labels(q, 10)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+        # AOT contract: the injected backend's state must match its spec.
+        spec = injected.state_spec(3000)
+        real = injected.device_state
+        assert set(spec) == set(real)
+        for key in real:
+            assert tuple(spec[key].shape) == tuple(real[key].shape), key
