@@ -211,3 +211,28 @@ def load_memory_sharded(
         (padded, dim), sharding, buffers
     )
     return arr, rows
+
+
+def iter_bankdir_windows(
+    feature_dir: str,
+    label_dir: Optional[str] = None,
+    *,
+    window_rows: int = 524288,
+):
+    """Yield (features (n, D), labels (n, C) or None) in fixed global-row
+    windows, reading only the overlapping chunks of each directory —
+    feature and label .bankdirs may be chunked differently. Re-iterable
+    (returns a fresh generator each call), as the streamed tree build
+    requires."""
+    f_info = sharded_memory_info(feature_dir)
+    l_info = sharded_memory_info(label_dir) if label_dir else None
+    if l_info is not None:
+        assert l_info["rows"] == f_info["rows"], (l_info, f_info)
+    rows = f_info["rows"]
+    for s in range(0, rows, window_rows):
+        e = min(s + window_rows, rows)
+        feats = _read_rows(feature_dir, f_info, s, e)
+        labs = (
+            _read_rows(label_dir, l_info, s, e) if l_info is not None else None
+        )
+        yield feats, labs

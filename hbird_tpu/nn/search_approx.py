@@ -379,6 +379,62 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             self._bank_scale = jnp.float32(bank_scale)
         return self
 
+    @classmethod
+    def from_bankdir(
+        cls,
+        feature_dir: str,
+        label_dir: Optional[str] = None,
+        *,
+        n_neighbors: int = 30,
+        window_rows: int = 524288,
+        num_leaves: int = 512,
+        tree_slack: float = 1.3,
+        kmeans_iters: int = 12,
+        tree_refine_rounds: int = 2,
+        tree_sample_rows: int = 131072,
+        seed: int = 0,
+        bank_scale=None,
+        **kwargs,
+    ):
+        """Build the tree backend straight from on-disk .bankdir banks via
+        the streamed three-pass build (ops/ivf.build_tree_streamed) —
+        banks larger than host RAM or too large to coexist with their
+        slab layout on one chip never materialize flat anywhere.
+
+        int8 .bankdirs require `bank_scale` (the global symmetric scale
+        the rows were quantized with)."""
+        from hbird_tpu.bank.io import iter_bankdir_windows, sharded_memory_info
+        from hbird_tpu.ops.ivf import build_tree_streamed
+
+        info = sharded_memory_info(feature_dir)
+        parts = build_tree_streamed(
+            lambda: iter_bankdir_windows(
+                feature_dir, label_dir, window_rows=window_rows
+            ),
+            info["rows"],
+            num_leaves,
+            slack=tree_slack,
+            kmeans_iters=kmeans_iters,
+            refine_rounds=tree_refine_rounds,
+            sample_rows=tree_sample_rows,
+            seed=seed,
+        )
+        return cls.from_tree_state(
+            parts["ivf_bank"],
+            parts["ivf_labels"],
+            parts["centroids"],
+            parts["leaf_fill"],
+            parts["perm"],
+            parts["slots"],
+            cap=parts["cap"],
+            valid_rows=parts["valid_rows"],
+            n_neighbors=n_neighbors,
+            bank_scale=bank_scale,
+            num_leaves=num_leaves,
+            tree_slack=tree_slack,
+            **kwargs,
+        )
+
     def _add_features_to_index(self):
         store = jnp.bfloat16 if self.use_fp16 else jnp.float32
         bank_in = self.feature_memory

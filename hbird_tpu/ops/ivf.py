@@ -560,3 +560,131 @@ def pallas_ivf_knn(
         sidx = jnp.take_along_axis(idx, sel, axis=-1)
         return svals, sidx
     return vals, idx
+
+
+# ----------------------------------------------------------------------
+# Streamed tree build (round 3): construct the leaf-slab layout from a
+# re-iterable stream of row blocks WITHOUT ever holding the flat bank —
+# on a 16 GB v5e chip the 10.24M-row int8 flat bank (7.9 GB) plus its
+# slab layout (9.1 GB) cannot coexist (measured OOM by 131 MB), and
+# .bankdir banks can exceed host RAM outright. Three passes over the
+# stream: (1) subsample -> k-means centroids (+ capacity refinement),
+# (2) per-block leaf assignment -> host greedy layout, (3) donated
+# scatter of each block into the slabs. Peak device memory: slabs + one
+# block. Single-device; meshed banks use
+# parallel/sharded_ivf.build_ivf_sharded instead (already streaming by
+# construction).
+# ----------------------------------------------------------------------
+def build_tree_streamed(
+    slab_stream,
+    n_rows: int,
+    num_leaves: int,
+    *,
+    slack: float = 1.3,
+    n_choices: int = 3,
+    kmeans_iters: int = 12,
+    refine_rounds: int = 2,
+    sample_rows: int = 131072,
+    seed: int = 0,
+):
+    """Build IVF arrays from a re-iterable block stream.
+
+    Args:
+        slab_stream: zero-arg callable returning an iterator of
+            (rows (n, D), labels (n, C) or None) blocks — numpy or
+            jax arrays, any row-block sizes. Iterated THREE times
+            (sample, assign, scatter); blocks must be identical across
+            iterations (seeded generators, bankdir windows, memmaps).
+        n_rows: total rows across the stream.
+        num_leaves / slack: tree geometry (tree_layout).
+
+    Returns dict(ivf_bank, ivf_labels (device), centroids, perm (np),
+        slots (np), leaf_fill (np), cap, n_leaves, valid_rows).
+    """
+    n_leaves, cap = tree_layout(n_rows, num_leaves, slack=slack)
+    n_slots = n_leaves * cap
+
+    # Pass 1: subsample -> centroids. The SAME draw as the flat build
+    # (search_approx._build_tree: rng.choice over global rows, order
+    # preserved) so streamed and flat builds train identical centroids —
+    # k-means is init-sensitive, and the init indexes into the sample.
+    rng = np.random.default_rng(seed)
+    n_sample = min(sample_rows, n_rows)
+    sel = rng.choice(n_rows, n_sample, replace=False)  # unsorted, like flat
+    sample_buf = None
+    pos = 0
+    for rows, _ in slab_stream():
+        n = rows.shape[0]
+        if sample_buf is None:
+            sample_buf = np.empty((n_sample, rows.shape[1]), np.float32)
+        in_blk = (sel >= pos) & (sel < pos + n)
+        if in_blk.any():
+            local = sel[in_blk] - pos
+            blk = (
+                rows[local]
+                if isinstance(rows, np.ndarray)
+                else rows[jnp.asarray(local)]
+            )
+            sample_buf[np.where(in_blk)[0]] = np.asarray(blk, np.float32)
+        pos += n
+    sample = jnp.asarray(sample_buf)
+    del sample_buf
+    centroids = train_centroids(
+        sample, n_leaves, iters=kmeans_iters, key=jax.random.PRNGKey(seed)
+    )
+    if refine_rounds > 0:
+        centroids = refine_centroids_balanced(
+            sample, centroids, slack=slack, rounds=refine_rounds
+        )
+    del sample
+
+    # Pass 2: assignment -> host greedy layout (identical to the flat
+    # build: same balanced_layout on the same choices/scores).
+    choices = np.empty((n_rows, n_choices), np.int32)
+    cscores = np.empty((n_rows, n_choices), np.float32)
+    pos = 0
+    for rows, _ in slab_stream():
+        n = rows.shape[0]
+        ch, sc = assign_leaves(rows, centroids, n_choices=n_choices,
+                               return_scores=True)
+        choices[pos:pos + n], cscores[pos:pos + n] = ch, sc
+        pos += n
+    assert pos == n_rows, (pos, n_rows)
+    slots, fill = balanced_layout(choices, n_leaves, cap, scores=cscores)
+
+    # Pass 3: donated per-block scatter into the slabs.
+    ivf_bank = None
+    ivf_labels = None
+    pos = 0
+    for rows, labs in slab_stream():
+        n = rows.shape[0]
+        rows_j = rows if isinstance(rows, jax.Array) else jnp.asarray(np.asarray(rows))
+        if ivf_bank is None:
+            ivf_bank = jnp.zeros((n_slots, rows_j.shape[1]), rows_j.dtype)
+        sl = jnp.asarray(slots[pos:pos + n], jnp.int32)
+        ivf_bank = _scatter_rows(ivf_bank, rows_j, sl)
+        if labs is not None:
+            labs_j = (
+                labs if isinstance(labs, jax.Array)
+                else jnp.asarray(np.asarray(labs, np.float32))
+            ).astype(jnp.float32)
+            if ivf_labels is None:
+                ivf_labels = jnp.zeros((n_slots, labs_j.shape[1]), jnp.float32)
+            ivf_labels = _scatter_rows(ivf_labels, labs_j, sl)
+        pos += n
+    if ivf_labels is None:
+        ivf_labels = jnp.zeros((n_slots, 1), jnp.float32)
+
+    perm = np.full((n_slots,), -1, np.int32)
+    perm[slots] = np.arange(n_rows, dtype=np.int32)
+    return dict(
+        ivf_bank=ivf_bank,
+        ivf_labels=ivf_labels,
+        centroids=centroids,
+        perm=perm,
+        slots=slots,
+        leaf_fill=fill,
+        cap=cap,
+        n_leaves=n_leaves,
+        valid_rows=n_rows,
+    )

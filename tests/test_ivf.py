@@ -575,3 +575,63 @@ class TestFromTreeState:
         assert set(spec) == set(real)
         for key in real:
             assert tuple(spec[key].shape) == tuple(real[key].shape), key
+
+
+class TestStreamedBuild:
+    """build_tree_streamed / from_bankdir: the streamed three-pass build
+    must match a flat build's search results (same layout greedy)."""
+
+    def test_stream_matches_flat_build(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+        from hbird_tpu.ops.ivf import build_tree_streamed
+
+        x, _ = mixture_bank(3000, 32, 5, seed=21)
+        rng = np.random.default_rng(22)
+        labels = rng.random((3000, 6)).astype(np.float32)
+        q = jnp.asarray(x[rng.integers(0, 3000, 128)])
+
+        def stream():
+            for i in range(0, 3000, 700):  # ragged blocks
+                yield x[i:i + 700], labels[i:i + 700]
+
+        parts = build_tree_streamed(stream, 3000, 10, slack=1.3, seed=0)
+        nn = NearestNeighborSearchApprox.from_tree_state(
+            parts["ivf_bank"], parts["ivf_labels"], parts["centroids"],
+            parts["leaf_fill"], parts["perm"], parts["slots"],
+            cap=parts["cap"], valid_rows=3000, n_neighbors=10,
+            num_leaves=10, num_leaves_to_search=5, query_block=64,
+            use_int8=False,
+        )
+        _, idx, labs = nn.search_with_labels(q, 10)
+        idx = np.asarray(idx)
+        assert (idx >= 0).all() and (idx < 3000).all()
+        np.testing.assert_allclose(np.asarray(labs), labels[idx], atol=1e-6)
+        exact_idx = np.argsort(-(np.asarray(q) @ x.T), axis=1)[:, :10]
+        recall = np.mean([
+            len(set(idx[i]) & set(exact_idx[i])) / 10 for i in range(len(idx))
+        ])
+        assert recall > 0.85, recall
+
+    def test_from_bankdir(self, tmp_path):
+        from hbird_tpu.bank.io import save_memory_sharded
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        x, _ = mixture_bank(2500, 32, 4, seed=23)
+        rng = np.random.default_rng(24)
+        labels = rng.random((2500, 5)).astype(np.float32)
+        f_dir = str(tmp_path / "feats.bankdir")
+        l_dir = str(tmp_path / "labs.bankdir")
+        # different chunkings on purpose
+        save_memory_sharded(x, f_dir, chunk_rows=600)
+        save_memory_sharded(labels, l_dir, chunk_rows=900)
+        nn = NearestNeighborSearchApprox.from_bankdir(
+            f_dir, l_dir, n_neighbors=10, window_rows=800,
+            num_leaves=8, num_leaves_to_search=4, query_block=64,
+            use_int8=False,
+        )
+        assert nn.valid_rows == 2500
+        q = jnp.asarray(x[rng.integers(0, 2500, 100)])
+        _, idx, labs = nn.search_with_labels(q, 10)
+        idx = np.asarray(idx)
+        assert (idx >= 0).all() and (idx < 2500).all()
+        np.testing.assert_allclose(np.asarray(labs), labels[idx], atol=1e-6)
