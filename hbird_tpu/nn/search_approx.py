@@ -208,6 +208,15 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             sample, n_leaves, iters=self.kmeans_iters,
             key=jax.random.PRNGKey(self.seed),
         )
+        if self.full_lloyd_iters > 0:
+            # Full-bank Lloyd upgrade over the sample training (blockwise;
+            # the sharded path's psum twin lives in sharded_kmeans). Runs
+            # BEFORE the capacity refinement for the same reason as there.
+            from hbird_tpu.ops.ivf import full_bank_lloyd
+
+            self.centroids = full_bank_lloyd(
+                bank_s, self.centroids, iters=self.full_lloyd_iters
+            )
         if self.tree_refine_rounds > 0:
             from hbird_tpu.ops.ivf import refine_centroids_balanced
 

@@ -688,3 +688,60 @@ def build_tree_streamed(
         n_leaves=n_leaves,
         valid_rows=n_rows,
     )
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 2))
+def _lloyd_accum_block(blk, sums, cnt, c, w):
+    """One block's contribution to a Lloyd iteration (donated
+    accumulators — no per-block allocations)."""
+    x = blk.astype(jnp.float32)
+    a = jnp.argmax(x @ c.T, axis=1)
+    sums = sums + jax.ops.segment_sum(
+        x * w[:, None], a, num_segments=c.shape[0]
+    )
+    cnt = cnt + jax.ops.segment_sum(w, a, num_segments=c.shape[0])
+    return sums, cnt
+
+
+def full_bank_lloyd(
+    bank,
+    centroids: jax.Array,
+    *,
+    iters: int = 2,
+    block_rows: int = 1 << 18,
+    spherical: bool = True,
+) -> jax.Array:
+    """Lloyd's k-means over the FULL bank, blockwise — the single-device
+    twin of parallel/sharded_ivf.sharded_kmeans (same semantics; a
+    CPU-mesh test pins the two equal). Upgrades sample-trained centroids
+    when the sample is a small fraction of the bank (131k of 10.24M is
+    1.3%). The (rows, n_leaves) score block never exceeds
+    block_rows x n_leaves."""
+    n_leaves, d = centroids.shape
+    c = jnp.asarray(centroids, jnp.float32)
+    m = bank.shape[0]
+    block_rows = min(block_rows, _round_up(m, 256))
+    for _ in range(iters):
+        sums = jnp.zeros((n_leaves, d), jnp.float32)
+        cnt = jnp.zeros((n_leaves,), jnp.float32)
+        for i in range(0, m, block_rows):
+            blk = bank[i : i + block_rows]
+            n = blk.shape[0]
+            w = jnp.ones((block_rows,), jnp.float32)
+            if n < block_rows:
+                blk = (
+                    jnp.pad(blk, ((0, block_rows - n), (0, 0)))
+                    if isinstance(blk, jax.Array)
+                    else np.pad(np.asarray(blk), ((0, block_rows - n), (0, 0)))
+                )
+                w = w.at[n:].set(0.0)
+            sums, cnt = _lloyd_accum_block(jnp.asarray(blk), sums, cnt, c, w)
+        newc = jnp.where(
+            cnt[:, None] > 0, sums / jnp.maximum(cnt[:, None], 1.0), c
+        )
+        if spherical:
+            newc = newc / jnp.maximum(
+                jnp.linalg.norm(newc, axis=1, keepdims=True), 1e-12
+            )
+        c = newc
+    return c

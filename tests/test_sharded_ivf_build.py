@@ -217,3 +217,47 @@ class TestMeshedBackendUsesShardedBuild:
         # delta); the sharded BUILD itself is layout-identical to the
         # single build (TestShardedBuildParity).
         assert recall > 0.75, recall
+
+
+class TestFullBankLloyd:
+    """ops/ivf.full_bank_lloyd is the single-device twin of
+    sharded_kmeans — identical semantics, pinned equal."""
+
+    def test_single_equals_sharded(self):
+        from hbird_tpu.ops.ivf import full_bank_lloyd
+
+        m, d, n_leaves, iters = 1200, 16, 6, 4
+        x = _clustered(m, d, 9, seed=31)
+        init = x[np.random.default_rng(0).choice(m, n_leaves, replace=False)]
+        single = np.asarray(
+            full_bank_lloyd(jnp.asarray(x), jnp.asarray(init), iters=iters,
+                            block_rows=500)
+        )
+        mesh = make_mesh((4,), ("bank",))
+        x_s, m_real = shard_rows(x, mesh)
+        sharded = np.asarray(
+            sharded_kmeans(x_s, jnp.asarray(init), mesh, iters=iters,
+                           valid_rows=m_real)
+        )
+        np.testing.assert_allclose(single, sharded, rtol=1e-4, atol=1e-5)
+
+    def test_backend_single_device_full_lloyd(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        x = _clustered(2000, 32, 6, seed=33)
+        rng = np.random.default_rng(34)
+        labels = jnp.asarray(rng.random((2000, 4)).astype(np.float32))
+        nn = NearestNeighborSearchApprox(
+            x, n_neighbors=10, label_memory=labels, use_tree=True,
+            num_leaves=8, num_leaves_to_search=4, query_block=64,
+            full_lloyd_iters=2, tree_sample_rows=256,  # tiny sample
+        )
+        q = jnp.asarray(x[rng.integers(0, 2000, 100)])
+        _, idx, _ = nn.search_with_labels(q, 10)
+        idx = np.asarray(idx)
+        assert (idx >= 0).all() and (idx < 2000).all()
+        exact_idx = np.argsort(-(np.asarray(q) @ x.T), axis=1)[:, :10]
+        recall = np.mean([
+            len(set(idx[i]) & set(exact_idx[i])) / 10 for i in range(len(idx))
+        ])
+        assert recall > 0.6, recall
