@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--k", type=int, default=30)
     ap.add_argument("--no-int8", action="store_true")
     ap.add_argument("--nn-method", default="ivf", choices=["exact", "ivf"],
-                    help="ivf (default — the winning backend: 114.3s vs "
+                    help="ivf (default — the winning backend: 91.3s vs "
                          "169.4s exact at 10.24M, recall@30 ~0.99+ at "
                          "probe 32/512 with capacity refinement) = "
                          "leaf-partitioned tree scan, streamed build; "
