@@ -278,22 +278,38 @@ def diagnostics(q_bf16, bank_bf16, measured, rng):
     # only after terminate fails).
     try:
         import subprocess
+        import tempfile
 
         here = os.path.dirname(os.path.abspath(__file__))
-        proc = subprocess.run(
-            [
-                sys.executable, "-u", os.path.join(here, "scripts", "bench_e2e.py"),
-                "--preset", "dino_vits16", "--input-size", "224",
-                "--batch-size", "16", "--n-train", "512", "--n-val", "64",
-            ],
-            cwd=here, capture_output=True, text=True, timeout=1500,
-        )
+        # Stream output to a file (not capture_output): on a timeout the
+        # partial log survives — round 2 lost the whole e2e record when
+        # the subprocess overran.
+        with tempfile.NamedTemporaryFile(
+            "w+", suffix=".log", prefix="bench_e2e_", delete=False
+        ) as f:
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable, "-u",
+                        os.path.join(here, "scripts", "bench_e2e.py"),
+                        "--preset", "dino_vits16", "--input-size", "224",
+                        "--batch-size", "16", "--n-train", "512",
+                        "--n-val", "64",
+                    ],
+                    cwd=here, stdout=f, stderr=subprocess.STDOUT,
+                    text=True, timeout=1500,
+                )
+                rc = proc.returncode
+            except subprocess.TimeoutExpired:
+                rc = "timeout"
+            f.seek(0)
+            out = f.read()
         log("[e2e] " + " | ".join(
-            line for line in (proc.stdout + proc.stderr).splitlines()
+            line for line in out.splitlines()
             if any(s in line for s in ("memory+index", "evaluate:", "phase stats"))
         ))
-        if proc.returncode != 0:
-            log(f"[e2e] FAILED rc={proc.returncode}: {(proc.stderr or '')[-500:]}")
+        if rc != 0:
+            log(f"[e2e] FAILED rc={rc}: {out[-500:]}")
     except Exception as e:  # noqa: BLE001
         log(f"[e2e] skipped: {e}")
 
