@@ -287,21 +287,28 @@ def diagnostics(q_bf16, bank_bf16, measured, rng):
         with tempfile.NamedTemporaryFile(
             "w+", suffix=".log", prefix="bench_e2e_", delete=False
         ) as f:
+            proc = subprocess.Popen(
+                [
+                    sys.executable, "-u",
+                    os.path.join(here, "scripts", "bench_e2e.py"),
+                    "--preset", "dino_vits16", "--input-size", "224",
+                    "--batch-size", "16", "--n-train", "512",
+                    "--n-val", "64",
+                ],
+                cwd=here, stdout=f, stderr=subprocess.STDOUT, text=True,
+            )
             try:
-                proc = subprocess.run(
-                    [
-                        sys.executable, "-u",
-                        os.path.join(here, "scripts", "bench_e2e.py"),
-                        "--preset", "dino_vits16", "--input-size", "224",
-                        "--batch-size", "16", "--n-train", "512",
-                        "--n-val", "64",
-                    ],
-                    cwd=here, stdout=f, stderr=subprocess.STDOUT,
-                    text=True, timeout=1500,
-                )
-                rc = proc.returncode
+                rc = proc.wait(timeout=1800)
             except subprocess.TimeoutExpired:
-                rc = "timeout"
+                # NEVER SIGKILL a process mid-TPU-operation (wedges the
+                # remote tunnel for the next process — subprocess.run
+                # does exactly that on timeout). SIGTERM + grace; if it
+                # still won't die, leave it running and let it finish.
+                proc.terminate()
+                try:
+                    rc = proc.wait(timeout=120)
+                except subprocess.TimeoutExpired:
+                    rc = "timeout (left running — do not SIGKILL mid-TPU-op)"
             f.seek(0)
             out = f.read()
         log("[e2e] " + " | ".join(

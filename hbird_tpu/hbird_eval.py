@@ -763,20 +763,22 @@ class HbirdEvaluation:
         except ValueError:
             budget = 180.0
         if budget <= 0 or not self._uses_pallas_carry():
-            return step
+            return step, None
         if not getattr(self.feature_extractor, "jittable", True):
-            return step
+            return step, None
 
         import threading
 
         from hbird_tpu.ops import knn_pallas
 
         done = threading.Event()
+        box: Dict[str, Any] = {}
 
         def work():
             try:
                 out = step(*args)
                 jax.block_until_ready(out)
+                box["out"] = out
             except Exception:  # noqa: BLE001 — main thread recompiles anyway
                 logger.exception("Budgeted first compile thread failed")
             finally:
@@ -788,7 +790,9 @@ class HbirdEvaluation:
         t0 = time.time()
         th.start()
         if done.wait(budget):
-            return step  # compiled (and first batch computed) in budget
+            # Compiled in budget; hand the already-computed first batch
+            # back so the caller doesn't re-dispatch it.
+            return step, box.get("out")
         logger.warning(
             "Eval-step compile exceeded the %.0fs budget "
             "(HBIRD_COMPILE_BUDGET); falling back to merge_mode="
@@ -805,7 +809,7 @@ class HbirdEvaluation:
             "carry compile abandoned after %.0fs; carry_lazy retrace "
             "started", time.time() - t0,
         )
-        return step2
+        return step2, None
 
     def _find_nearest_key_to_query(self, q) -> Tuple[np.ndarray, np.ndarray]:
         """Retrieve neighbour features and labels for query patches.
@@ -942,6 +946,7 @@ class HbirdEvaluation:
         t_prev = time.perf_counter()
         in_flight = None
         aot_checked = False
+        precomputed = None
         try:
             for x, y in tqdm(val_loader, desc="Evaluation loop"):
                 if timing:
@@ -972,19 +977,24 @@ class HbirdEvaluation:
                     if alt is not None:
                         step = alt
                     else:
-                        step = self._budgeted_first_compile(
+                        step, precomputed = self._budgeted_first_compile(
                             step,
                             (eval_spatial_resolution, ignore_index,
                              return_knn_details),
                             (xb, yb, self._fwd_operand,
                              self.NN_algorithm.device_state),
                         )
-                conf, pred, y_ids, details = step(
-                    xb,
-                    yb,
-                    self._fwd_operand,
-                    self.NN_algorithm.device_state,
-                )
+                if precomputed is not None:
+                    # The budget thread already ran this exact batch.
+                    conf, pred, y_ids, details = precomputed
+                    precomputed = None
+                else:
+                    conf, pred, y_ids, details = step(
+                        xb,
+                        yb,
+                        self._fwd_operand,
+                        self.NN_algorithm.device_state,
+                    )
                 if timing:
                     t_disp = time.perf_counter()
                     logger.info("[t] pad+put+dispatch: %.3fs", t_disp - t_host)

@@ -317,6 +317,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             labels = np.zeros((m, 1), np.float32)
         parts = build_ivf_sharded(
             bank_s, labels, self.centroids, n_leaves, cap, mesh,
+            valid_rows=m,
         )
         self.centroids = parts["centroids"]
         self.bank = parts["ivf_bank"]
@@ -359,6 +360,12 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         kwargs.setdefault("use_tree", True)
         kwargs.setdefault("use_int8", ivf_bank.dtype == jnp.int8)
         if kwargs["use_int8"]:
+            # Same contract as the flat int8 injection path: without the
+            # quantization scale, scores would silently come out scaled
+            # by the dummy build's garbage _bank_scale.
+            assert bank_scale is not None, (
+                "int8 slab injection requires bank_scale"
+            )
             kwargs.setdefault("bank_scale", bank_scale)
         # Route through __init__ machinery minus the index build: set the
         # config fields via a tiny dummy, then install the real state.

@@ -627,6 +627,11 @@ def build_tree_streamed(
             )
             sample_buf[np.where(in_blk)[0]] = np.asarray(blk, np.float32)
         pos += n
+    # Catch a short stream HERE, before k-means runs on uninitialized
+    # sample_buf rows (np.empty garbage would poison every centroid).
+    assert pos == n_rows, (
+        f"slab_stream yielded {pos} rows, n_rows says {n_rows}"
+    )
     sample = jnp.asarray(sample_buf)
     del sample_buf
     centroids = train_centroids(

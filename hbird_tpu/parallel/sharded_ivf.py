@@ -38,11 +38,13 @@ from hbird_tpu.ops.knn_pallas import _round_up
 
 
 def shard_ivf_state(ivf_bank, ivf_labels, mesh: Mesh, bank_axis: str = "bank"):
-    """Place the leaf-contiguous arrays row-sharded over the bank axis.
-    (Slab boundaries align with shard boundaries because the tree
-    geometry rounds n_leaves to a multiple of the axis size.)"""
-    from jax.sharding import NamedSharding
-
+    """Place PREBUILT leaf-contiguous arrays row-sharded over the bank
+    axis — the companion to `NearestNeighborSearchApprox.from_tree_state`
+    when injecting externally-built/persisted slabs into a meshed
+    backend. (In-engine meshed builds go through build_ivf_sharded below
+    and never need this.) Slab boundaries align with shard boundaries
+    because the tree geometry rounds n_leaves to a multiple of the axis
+    size."""
     spec = NamedSharding(mesh, P(bank_axis))
     return jax.device_put(ivf_bank, spec), jax.device_put(ivf_labels, spec)
 
@@ -406,40 +408,41 @@ def build_ivf_sharded(
     *,
     bank_axis: str = "bank",
     n_choices: int = 3,
-    full_lloyd_iters: int = 0,
+    valid_rows: Optional[int] = None,
 ):
     """Distributed tree build: row-sharded bank -> leaf-slab-sharded IVF
     arrays, with the slot placement bit-identical to the single-device
     build (same host greedy on the same choices/scores).
+
+    (Full-bank Lloyd refinement is NOT folded in here: plain Lloyd after
+    a capacity refinement undoes it — run sharded_kmeans yourself before
+    refining, as search_approx._build_tree_sharded does.)
 
     Args:
         bank: (M, D) host array or (already) row-sharded jax.Array.
         labels: (M, C) or None.
         centroids: (n_leaves, D) trained centroids (replicated; e.g. from
             a sample via ops/ivf.train_centroids).
-        full_lloyd_iters: extra Lloyd iterations over the FULL sharded
-            bank via psum (sharded_kmeans) before assignment — the
-            distributed upgrade over sample-only training.
+        valid_rows: real row count when `bank` is pre-sharded WITH
+            padding (shard_rows pads to a multiple of the axis size) —
+            without it the zero pad rows would be placed in leaves as
+            searchable ghost candidates.
 
     Returns dict(ivf_bank, ivf_labels (sharded), centroids, perm (np),
         slots (np), leaf_fill (np), valid_rows).
     """
-    m = bank.shape[0]
     if isinstance(bank, jax.Array) and bank.sharding.is_equivalent_to(
         NamedSharding(mesh, P(bank_axis)), bank.ndim
     ):
         bank_s = bank  # already row-sharded (e.g. a .bankdir mesh load)
+        m = valid_rows if valid_rows is not None else bank.shape[0]
     else:
         bank_s, m = shard_rows(bank, mesh, bank_axis)
+        assert valid_rows is None or valid_rows == m, (valid_rows, m)
     if labels is None:
         labels = np.zeros((m, 1), np.float32)
+    assert labels.shape[0] == m, (labels.shape, m)
     labels_s, _ = shard_rows(labels, mesh, bank_axis)
-
-    if full_lloyd_iters > 0:
-        centroids = sharded_kmeans(
-            bank_s, centroids, mesh, iters=full_lloyd_iters,
-            bank_axis=bank_axis, valid_rows=m,
-        )
 
     choices, scores = sharded_assign_leaves(
         bank_s, centroids, mesh, n_choices=n_choices, bank_axis=bank_axis

@@ -126,63 +126,33 @@ def main():
         return u / jnp.sum(u, axis=1, keepdims=True)
 
     if args.nn_method == "ivf":
-        # STREAMED two-phase tree build: the 7.9 GB flat bank and the
-        # 9.1 GB leaf layout cannot coexist on a 16 GB chip (measured:
-        # OOM by 131 MB at the scatter), and the slabs are seeded — so
-        # the flat bank NEVER exists. Phase A regenerates each slab to
-        # assign leaves; after the host greedy layout, phase B
-        # regenerates them again and scatters straight into the slabs.
+        # STREAMED tree build (ops/ivf.build_tree_streamed): the 7.9 GB
+        # flat bank and the 9.1 GB leaf layout cannot coexist on a 16 GB
+        # chip (measured: OOM by 131 MB at the scatter), and the slabs
+        # are seeded — the flat bank NEVER exists. Three passes over the
+        # regenerated slab stream: subsample -> centroids, per-block
+        # assignment -> host greedy layout, donated scatter into slabs.
         from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
-        from hbird_tpu.ops.ivf import (
-            assign_leaves, balanced_layout, refine_centroids_balanced,
-            train_centroids, tree_layout,
-        )
+        from hbird_tpu.ops.ivf import build_tree_streamed
 
-        n_leaves, cap = tree_layout(
-            args.bank_rows, args.num_leaves, slack=args.tree_slack
-        )
-        n_slots = n_leaves * cap
-        sample = make_slab(slab_keys[0])[:131072].astype(jnp.float32)
-        cent = train_centroids(
-            sample, n_leaves, iters=12, key=jax.random.PRNGKey(0)
-        )
-        cent = refine_centroids_balanced(
-            sample, cent, slack=args.tree_slack, rounds=2
-        )
-        del sample
-        choices = np.empty((args.bank_rows, 3), np.int32)
-        cscores = np.empty((args.bank_rows, 3), np.float32)
-        for j, sub in enumerate(slab_keys):
-            i = j * slab_rows
-            n = min(slab_rows, args.bank_rows - i)
-            ch, sc = assign_leaves(
-                make_slab(sub)[:n], cent, n_choices=3, return_scores=True
-            )
-            choices[i:i + n], cscores[i:i + n] = ch, sc
-        print(f"assign done ({time.time()-t0:.1f}s); layout...", flush=True)
-        slots, fill = balanced_layout(choices, n_leaves, cap, scores=cscores)
+        def slab_stream():
+            for j, sub in enumerate(slab_keys):
+                i = j * slab_rows
+                n = min(slab_rows, args.bank_rows - i)
+                yield (
+                    make_slab(sub)[:n],
+                    make_label_slab(jax.random.fold_in(sub, 7))[:n],
+                )
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def scatter_slab(buf, lbuf, slab, lslab, sl):
-            return buf.at[sl].set(slab), lbuf.at[sl].set(lslab)
-
-        ivf_bank = jnp.zeros(
-            (n_slots, d), jnp.int8 if use_int8 else jnp.bfloat16
+        parts = build_tree_streamed(
+            slab_stream, args.bank_rows, args.num_leaves,
+            slack=args.tree_slack, seed=0,
         )
-        ivf_labels = jnp.zeros((n_slots, args.num_classes), jnp.float32)
-        for j, sub in enumerate(slab_keys):
-            i = j * slab_rows
-            n = min(slab_rows, args.bank_rows - i)
-            sl = jnp.asarray(slots[i:i + n], jnp.int32)
-            ivf_bank, ivf_labels = scatter_slab(
-                ivf_bank, ivf_labels, make_slab(sub)[:n],
-                make_label_slab(jax.random.fold_in(sub, 7))[:n], sl,
-            )
-        perm = np.full((n_slots,), -1, np.int32)
-        perm[slots] = np.arange(args.bank_rows, dtype=np.int32)
         nn = NearestNeighborSearchApprox.from_tree_state(
-            ivf_bank, ivf_labels, cent, fill, perm, slots,
-            cap=cap, valid_rows=args.bank_rows, n_neighbors=args.k,
+            parts["ivf_bank"], parts["ivf_labels"], parts["centroids"],
+            parts["leaf_fill"], parts["perm"], parts["slots"],
+            cap=parts["cap"], valid_rows=args.bank_rows,
+            n_neighbors=args.k,
             bank_scale=scale if use_int8 else None,
             num_leaves=args.num_leaves,
             num_leaves_to_search=args.n_probe, tree_slack=args.tree_slack,
@@ -194,8 +164,8 @@ def main():
         jax.block_until_ready(nn.bank)
         print(f"bank + index ready ({time.time()-t0:.1f}s, "
               f"{nn.bank.nbytes/1e9:.1f} GB ivf layout on chip; tree "
-              f"{n_leaves} leaves x cap {cap}; flat bank never "
-              "materialized)", flush=True)
+              f"{parts['n_leaves']} leaves x cap {parts['cap']}; flat "
+              "bank never materialized)", flush=True)
     else:
         # Donated in-place writes: concatenating slabs would double peak
         # HBM (slabs + output) and OOM the 16 GB chip at 10.24M rows.

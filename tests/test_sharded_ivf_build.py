@@ -147,16 +147,50 @@ class TestShardedBuildParity:
 
     def test_full_lloyd_refines_centroids(self):
         mesh = make_mesh((4,), ("bank",))
-        parts = build_ivf_sharded(
-            self.x, self.labels, self.cent, self.n_leaves, self.cap, mesh,
-            full_lloyd_iters=3,
+        x_s, m_real = shard_rows(self.x, mesh)
+        got = np.asarray(
+            sharded_kmeans(x_s, self.cent, mesh, iters=3, valid_rows=m_real)
         )
         # refined centroids differ from the input and are unit-norm
-        got = np.asarray(parts["centroids"])
         assert not np.allclose(got, np.asarray(self.cent))
         np.testing.assert_allclose(
             np.linalg.norm(got, axis=1), 1.0, atol=1e-5
         )
+
+    def test_no_ghost_rows_with_uneven_row_count(self):
+        # 2998 rows over 4 shards: shard_rows pads to 3000; the 2 zero
+        # pad rows must NOT be placed in leaves (they would be searchable
+        # ghost candidates with score 0 and perm ids >= valid_rows).
+        mesh = make_mesh((4,), ("bank",))
+        x = self.x[:2998]
+        labels = self.labels[:2998]
+        parts = build_ivf_sharded(
+            x, labels, self.cent, self.n_leaves, self.cap, mesh
+        )
+        assert parts["valid_rows"] == 2998
+        assert parts["leaf_fill"].sum() == 2998
+        assert parts["perm"].max() == 2997
+        assert parts["slots"].shape == (2998,)
+
+    def test_backend_uneven_rows_no_ghosts(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        mesh = make_mesh((4,), ("bank",))
+        rng = np.random.default_rng(41)
+        x = self.x[:2999]
+        labels = jnp.asarray(self.labels[:2999])
+        nn = NearestNeighborSearchApprox(
+            x, n_neighbors=10, label_memory=labels, use_tree=True,
+            mesh=mesh, num_leaves=12, num_leaves_to_search=12,
+            query_block=64,
+        )
+        assert nn.valid_rows == 2999
+        # Anti-correlated queries: every true dot-product is negative, so
+        # a zero ghost row would win every slot.
+        q = jnp.asarray(-x[rng.integers(0, 2999, 64)])
+        _, idx, _ = nn.search_with_labels(q, 10)
+        idx = np.asarray(idx)
+        assert (idx >= 0).all() and (idx < 2999).all(), idx.max()
 
 
 class TestRingScatter:
