@@ -547,6 +547,33 @@ class HbirdEvaluation:
             and memory_path_on_disk(self.f_mem_p) is not None
             and memory_path_on_disk(self.l_mem_p) is not None
         ):
+            from hbird_tpu.bank.io import is_sharded_path
+
+            if (
+                self.nn_method == "ivf"
+                and self.mesh is None
+                and is_sharded_path(self.f_mem_p)
+                and is_sharded_path(self.l_mem_p)
+            ):
+                # .bankdir + tree backend: build STREAMED straight from
+                # disk windows (ops/ivf.build_tree_streamed) — the flat
+                # bank never exists in host RAM or HBM (at 10M+ rows it
+                # cannot coexist with the slab layout on a 16 GB chip).
+                _, kwargs = self._nn_cls_kwargs("ivf", **self.nn_params)
+                kwargs.pop("use_tree", None)
+                kwargs.pop("use_fp16", None)
+                self.NN_algorithm = NearestNeighborSearchApprox.from_bankdir(
+                    self.f_mem_p,
+                    self.l_mem_p,
+                    n_neighbors=self.n_neighbours,
+                    **kwargs,
+                )
+                self.feature_memory = None
+                self.label_memory = None
+                logger.info(
+                    "Loaded .bankdir memory via the streamed tree build."
+                )
+                return True
             self.feature_memory = load_memory(self.f_mem_p)
             self.label_memory = load_memory(self.l_mem_p)
             self._create_nn(self.n_neighbours, nn_method=self.nn_method, **self.nn_params)

@@ -635,3 +635,38 @@ class TestStreamedBuild:
         idx = np.asarray(idx)
         assert (idx >= 0).all() and (idx < 2500).all()
         np.testing.assert_allclose(np.asarray(labs), labels[idx], atol=1e-6)
+
+
+class TestEngineBankdirStreamedLoad:
+    def test_load_memory_bankdir_ivf_streams(self, tmp_path):
+        from hbird_tpu.bank.io import save_memory_sharded
+        from hbird_tpu.hbird_eval import HbirdEvaluation
+
+        x, _ = mixture_bank(2000, 16, 4, seed=29)
+        rng = np.random.default_rng(30)
+        labels = rng.random((2000, 5)).astype(np.float32)
+        f_p = str(tmp_path / "f.bankdir")
+        l_p = str(tmp_path / "l.bankdir")
+        save_memory_sharded(x, f_p, chunk_rows=512)
+        save_memory_sharded(labels, l_p, chunk_rows=512)
+
+        ev = HbirdEvaluation.__new__(HbirdEvaluation)
+        ev.f_mem_p, ev.l_mem_p = f_p, l_p
+        ev.n_neighbours = 5
+        ev.nn_method = "ivf"
+        ev.nn_params = {"num_leaves": 8, "num_leaves_to_search": 4,
+                        "query_block": 64, "use_int8": False}
+        ev.num_classes = 5
+        ev.memory_size = None
+        ev.mesh = None
+        ev.bf16_bank = False
+        assert ev.load_memory() is True
+        # streamed: no flat memory was materialized
+        assert ev.feature_memory is None
+        nn = ev.NN_algorithm
+        assert nn.use_tree and nn.valid_rows == 2000
+        q = jnp.asarray(x[rng.integers(0, 2000, 64)])
+        _, idx, labs = nn.search_with_labels(q, 5)
+        idx = np.asarray(idx)
+        assert (idx >= 0).all() and (idx < 2000).all()
+        np.testing.assert_allclose(np.asarray(labs), labels[idx], atol=1e-6)
