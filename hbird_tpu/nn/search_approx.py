@@ -497,6 +497,90 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         )
         self.valid_rows = self.bank.shape[0]
 
+    def calibrate_n_probe(
+        self,
+        recall_target: float,
+        *,
+        k: Optional[int] = None,
+        n_queries: int = 21904,
+        seed: int = 0,
+        max_probe: Optional[int] = None,
+    ) -> int:
+        """Pick the smallest `num_leaves_to_search` whose measured
+        recall@k meets `recall_target`, and install it.
+
+        ScaNN's builder takes a recall target and tunes the tree
+        internally; here it is measured directly — probing ALL leaves
+        through the same tree path is exact search, so recall is the
+        shortlist overlap on `n_queries` bank rows used as their own
+        queries. Query DENSITY matters (block-level probing shares a
+        shortlist per sorted 256-query tile): the default matches an
+        engine batch (16 imgs x 37^2 patches); sparse calibration sets
+        would understate recall. Single-device trees only.
+
+        Returns the chosen probe count. One-time cost: one full-probe
+        scan of the calibration queries (~a second per million rows)
+        plus one scan per candidate probe count (geometric ladder).
+        """
+        assert self.use_tree, "probe calibration is a tree-mode feature"
+        assert self.mesh is None, (
+            "probe calibration requires a single-device tree"
+        )
+        from hbird_tpu.ops.ivf import ivf_search
+        from hbird_tpu.utils.logging import get_logger
+
+        k = k or self.n_neighbors
+        rng = np.random.default_rng(seed)
+        n_q = min(n_queries, self.valid_rows)
+        rows = jnp.take(
+            self.slots, jnp.asarray(rng.choice(self.valid_rows, n_q,
+                                               replace=False)), axis=0,
+        )
+        q = jnp.take(self.bank, rows, axis=0)
+
+        def probe(n_probe):
+            _, idx = ivf_search(
+                q, self.bank, self.centroids, self.leaf_valid, k,
+                cap=self._cap, n_probe=n_probe,
+                block_q=self.query_block,
+            )
+            return np.asarray(idx)
+
+        oracle = probe(self._n_leaves)
+
+        def recall(idx):
+            return float(np.mean([
+                len(set(idx[i]) & set(oracle[i])) / k for i in range(n_q)
+            ]))
+
+        hi_cap = min(max_probe or self._n_leaves, self._n_leaves)
+        # Geometric ladder, then one bisection refinement level.
+        lo, lo_r = 0, 0.0
+        n_probe = 1
+        while n_probe < hi_cap:
+            r = recall(probe(n_probe))
+            if r >= recall_target:
+                break
+            lo, lo_r = n_probe, r
+            n_probe *= 2
+        else:
+            n_probe = hi_cap
+            r = recall(probe(n_probe))
+        while n_probe - lo > max(1, lo // 4):
+            mid = (lo + n_probe) // 2
+            r_mid = recall(probe(mid))
+            if r_mid >= recall_target:
+                n_probe, r = mid, r_mid
+            else:
+                lo, lo_r = mid, r_mid
+        get_logger(__name__).info(
+            "Calibrated num_leaves_to_search=%d for recall_target=%.3f "
+            "(measured recall@%d=%.4f over %d queries)",
+            n_probe, recall_target, k, r, n_q,
+        )
+        self.num_leaves_to_search = n_probe
+        return n_probe
+
     @property
     def device_state(self):
         """Large device arrays as a pytree (jit-argument safe; see

@@ -670,3 +670,67 @@ class TestEngineBankdirStreamedLoad:
         idx = np.asarray(idx)
         assert (idx >= 0).all() and (idx < 2000).all()
         np.testing.assert_allclose(np.asarray(labs), labels[idx], atol=1e-6)
+
+
+class TestProbeCalibration:
+    """calibrate_n_probe: measured recall-targeted selection of
+    num_leaves_to_search (the ScaNN-builder-style recall knob, done by
+    direct measurement against the full-probe oracle)."""
+
+    def test_monotone_and_meets_target(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        x, _ = mixture_bank(6000, 32, 24, seed=37)
+        rng = np.random.default_rng(38)
+        nn = NearestNeighborSearchApprox(
+            x, n_neighbors=10, use_tree=True, num_leaves=24,
+            num_leaves_to_search=24, query_block=64,
+            label_memory=jnp.asarray(rng.random((6000, 4)).astype(np.float32)),
+        )
+        p_low = nn.calibrate_n_probe(0.85, n_queries=1024, seed=1)
+        p_high = nn.calibrate_n_probe(0.999, n_queries=1024, seed=1)
+        assert 1 <= p_low <= p_high <= 24, (p_low, p_high)
+        assert nn.num_leaves_to_search == p_high
+        # The calibrated probe meets the target on the calibration draw.
+        from hbird_tpu.ops.ivf import ivf_search
+
+        rows = jnp.take(
+            nn.slots,
+            jnp.asarray(np.random.default_rng(1).choice(6000, 1024,
+                                                        replace=False)),
+            axis=0,
+        )
+        q = jnp.take(nn.bank, rows, axis=0)
+
+        def run(p):
+            _, idx = ivf_search(
+                q, nn.bank, nn.centroids, nn.leaf_valid, 10,
+                cap=nn._cap, n_probe=p, block_q=64,
+            )
+            return np.asarray(idx)
+
+        oracle = run(24)
+        got = run(p_high)
+        recall = np.mean([
+            len(set(got[i]) & set(oracle[i])) / 10 for i in range(1024)
+        ])
+        assert recall >= 0.999, recall
+
+    def test_requires_tree_and_single_device(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+        from hbird_tpu.parallel import make_mesh
+
+        x, _ = mixture_bank(2000, 16, 4, seed=39)
+        flat = NearestNeighborSearchApprox(x, n_neighbors=5)
+        with pytest.raises(AssertionError):
+            flat.calibrate_n_probe(0.9)
+        meshed = NearestNeighborSearchApprox(
+            x, n_neighbors=5, use_tree=True, num_leaves=8,
+            num_leaves_to_search=4, query_block=64,
+            mesh=make_mesh((4,), ("bank",)),
+            label_memory=jnp.asarray(
+                np.random.default_rng(0).random((2000, 3)).astype(np.float32)
+            ),
+        )
+        with pytest.raises(AssertionError):
+            meshed.calibrate_n_probe(0.9)
