@@ -734,3 +734,58 @@ class TestProbeCalibration:
         )
         with pytest.raises(AssertionError):
             meshed.calibrate_n_probe(0.9)
+
+
+class TestEngineIVFMeshed:
+    def test_engine_meshed_ivf_matches_single(self, tmp_path):
+        """Full engine with a ('data','bank') mesh and nn_method='ivf':
+        the tree builds ON the mesh (sharded build) and the evaluation
+        must agree with the single-device tree engine."""
+        import random
+
+        from hbird_tpu import HbirdEvaluation
+        from hbird_tpu.data import get_dataset
+        from hbird_tpu.data.synthetic import make_voc_fixture
+        from hbird_tpu.data.transforms import (
+            get_hbird_train_transforms,
+            get_hbird_val_transforms,
+        )
+        from hbird_tpu.models import FeatureExtractorSimple
+        from hbird_tpu.parallel import make_mesh
+
+        INPUT, PATCH = 32, 4
+        S = INPUT // PATCH
+
+        def oracle_fn(model, imgs):
+            b, c, h, w = imgs.shape
+            s = h // PATCH
+            xm = imgs.reshape(b, c, s, PATCH, s, PATCH).mean(axis=(3, 5))
+            return xm.transpose(0, 2, 3, 1).reshape(b, s * s, c), None
+
+        root = str(tmp_path / "voc")
+        make_voc_fixture(root, n_train=8, n_val=4, size=(48, 40),
+                         colorize=True, seed=6, class_pool=[1, 2, 3])
+        nn_params = dict(num_leaves=4, num_leaves_to_search=4,
+                         query_block=64, shard_probe="full")
+
+        def run(mesh):
+            random.seed(432)
+            tt = get_hbird_train_transforms(INPUT, device_normalize=True)
+            vt = get_hbird_val_transforms(INPUT, device_normalize=True)
+            ds, ign = get_dataset("voc", root, 4, 0, tt, vt, None, None)
+            fe = FeatureExtractorSimple(
+                None, ftr_extr_fn=oracle_fn, eval_spatial_resolution=S,
+                d_model=3,
+            )
+            ev = HbirdEvaluation(
+                fe, ds.train_dataloader(), num_classes=ds.get_num_classes(),
+                n_neighbours=5, nn_method="ivf", nn_params=nn_params,
+                dataset_size=ds.get_train_dataset_size(),
+                device_norm=tt.get("device_norm"), mesh=mesh,
+            )
+            return float(ev.evaluate(ds.val_dataloader(), S, ignore_index=ign))
+
+        m_single = run(None)
+        m_meshed = run(make_mesh((2, 4), ("data", "bank")))
+        # full per-shard probing + tiny fixture: same retrieval set
+        assert abs(m_meshed - m_single) < 0.02, (m_meshed, m_single)
