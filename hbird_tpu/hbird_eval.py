@@ -550,7 +550,7 @@ class HbirdEvaluation:
             from hbird_tpu.bank.io import is_sharded_path
 
             if (
-                self.nn_method == "ivf"
+                (self.nn_method == "ivf" or self.nn_params.get("use_tree"))
                 and self.mesh is None
                 and is_sharded_path(self.f_mem_p)
                 and is_sharded_path(self.l_mem_p)
@@ -710,6 +710,11 @@ class HbirdEvaluation:
             "esr": esr,
             "ignore_index": ignore_index,
             "return_knn_details": return_knn_details,
+            # Static config baked into the compiled program beyond what
+            # avals capture: a later calibrate_n_probe() changes the
+            # probe count without changing any shape, and the stale
+            # executable must be declined.
+            "n_probe": getattr(dummy, "num_leaves_to_search", None),
         }
         logger.info(
             "AOT eval-step compile started in background "
@@ -731,6 +736,14 @@ class HbirdEvaluation:
             or aot["ignore_index"] != ignore_index
             or aot["return_knn_details"] != return_knn_details
         ):
+            return None
+        live_probe = getattr(self.NN_algorithm, "num_leaves_to_search", None)
+        if aot["n_probe"] != live_probe:
+            logger.info(
+                "AOT eval step unused (probe count changed %s -> %s, e.g. "
+                "calibrate_n_probe); falling back to JIT",
+                aot["n_probe"], live_probe,
+            )
             return None
 
         def sig(tree):
@@ -853,10 +866,17 @@ class HbirdEvaluation:
         )
         # Gather from the full-precision feature memory (reference
         # hbird_eval.py:632-637 indexes self.feature_memory), not the
-        # backend's possibly bf16/int8-quantized scan bank.
-        key_features = jnp.take(
-            jnp.asarray(self.feature_memory), idx, axis=0
-        ).astype(jnp.float32)
+        # backend's possibly bf16/int8-quantized scan bank. Streamed
+        # .bankdir loads keep no flat memory — gather from the backend's
+        # store (its precision) instead.
+        if self.feature_memory is not None:
+            key_features = jnp.take(
+                jnp.asarray(self.feature_memory), idx, axis=0
+            ).astype(jnp.float32)
+        else:
+            key_features = self.NN_algorithm.gather_features_pure(
+                self.NN_algorithm.device_state, jnp.asarray(idx)
+            ).astype(jnp.float32)
         k = self.n_neighbours
         return (
             np.asarray(key_features).reshape(b, n, k, -1),

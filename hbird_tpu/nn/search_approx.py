@@ -418,15 +418,38 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         slab layout on one chip never materialize flat anywhere.
 
         int8 .bankdirs require `bank_scale` (the global symmetric scale
-        the rows were quantized with)."""
+        the rows were quantized with). Float .bankdirs are cast to the
+        tree's store dtype (bf16 unless use_fp16=False) window-by-window;
+        `use_int8` cannot apply to a float .bankdir (quantization would
+        need an extra full scale pass) — store an int8 .bankdir with its
+        scale instead."""
         from hbird_tpu.bank.io import iter_bankdir_windows, sharded_memory_info
         from hbird_tpu.ops.ivf import build_tree_streamed
 
         info = sharded_memory_info(feature_dir)
-        parts = build_tree_streamed(
-            lambda: iter_bankdir_windows(
+        is_int8 = np.dtype(info["dtype"]) == np.int8
+        if kwargs.pop("use_int8", False) and not is_int8:
+            from hbird_tpu.utils.logging import get_logger
+
+            get_logger(__name__).warning(
+                "use_int8 ignored for a %s .bankdir streamed load — "
+                "quantization would need an extra full pass; save an "
+                "int8 .bankdir + bank_scale for the quantized path.",
+                info["dtype"],
+            )
+        store = (
+            jnp.int8 if is_int8
+            else (jnp.bfloat16 if kwargs.get("use_fp16", True) else jnp.float32)
+        )
+
+        def stream():
+            for rows, labs in iter_bankdir_windows(
                 feature_dir, label_dir, window_rows=window_rows
-            ),
+            ):
+                yield jnp.asarray(rows).astype(store), labs
+
+        parts = build_tree_streamed(
+            stream,
             info["rows"],
             num_leaves,
             slack=tree_slack,
@@ -519,8 +542,12 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         would understate recall. Single-device trees only.
 
         Returns the chosen probe count. One-time cost: one full-probe
-        scan of the calibration queries (~a second per million rows)
-        plus one scan per candidate probe count (geometric ladder).
+        scan of the calibration queries plus one scan per candidate
+        probe count (geometric ladder + bisection, ~8-12 candidates).
+        Each distinct probe count is a NEW static shape — on a remote
+        Mosaic compiler with a cold cache that is a fresh Pallas compile
+        per candidate (tens of seconds each, occasionally minutes);
+        subsequent calibrations hit the compile cache.
         """
         assert self.use_tree, "probe calibration is a tree-mode feature"
         assert self.mesh is None, (
@@ -555,24 +582,25 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
 
         hi_cap = min(max_probe or self._n_leaves, self._n_leaves)
         # Geometric ladder, then one bisection refinement level.
-        lo, lo_r = 0, 0.0
+        lo = 0
         n_probe = 1
         while n_probe < hi_cap:
             r = recall(probe(n_probe))
             if r >= recall_target:
                 break
-            lo, lo_r = n_probe, r
+            lo = n_probe
             n_probe *= 2
         else:
             n_probe = hi_cap
-            r = recall(probe(n_probe))
+            # hi_cap == n_leaves IS the oracle — don't re-scan it.
+            r = 1.0 if hi_cap == self._n_leaves else recall(probe(n_probe))
         while n_probe - lo > max(1, lo // 4):
             mid = (lo + n_probe) // 2
             r_mid = recall(probe(mid))
             if r_mid >= recall_target:
                 n_probe, r = mid, r_mid
             else:
-                lo, lo_r = mid, r_mid
+                lo = mid
         get_logger(__name__).info(
             "Calibrated num_leaves_to_search=%d for recall_target=%.3f "
             "(measured recall@%d=%.4f over %d queries)",

@@ -200,9 +200,16 @@ def main():
             # each tile across ~64 top-1 leaves and measures that
             # artifact (0.538 measured), not the index.
             n_q = 16 * (args.input_size // 14) ** 2
-            qs = np.asarray(
-                make_slab(slab_keys[0])[:n_q], np.float32
-            ) + 0.05 * r.normal(size=(n_q, d)).astype(np.float32)
+            # DEQUANTIZE the int8 slab rows back to unit-norm scale
+            # before perturbing — feeding raw int8 units (+-127) into
+            # the quantizer again saturates every component to +-127
+            # and measures recall on sign vectors, not on perturbed
+            # rows (a round-3 review catch: the first committed number
+            # had exactly that bug).
+            rows_q = np.asarray(make_slab(slab_keys[0])[:n_q], np.float32)
+            if use_int8:
+                rows_q = rows_q * scale
+            qs = rows_q + 0.05 * r.normal(size=(n_q, d)).astype(np.float32)
             if use_int8:
                 q_cast = jnp.asarray(
                     np.clip(np.round(qs / scale), -127, 127), jnp.int8

@@ -789,3 +789,123 @@ class TestEngineIVFMeshed:
         m_meshed = run(make_mesh((2, 4), ("data", "bank")))
         # full per-shard probing + tiny fixture: same retrieval set
         assert abs(m_meshed - m_single) < 0.02, (m_meshed, m_single)
+
+
+class TestStreamedLoadReviewFixes:
+    """Round-3 review follow-ups on the streamed .bankdir load path."""
+
+    def _dirs(self, tmp_path, m=1500, d=16, c=4):
+        from hbird_tpu.bank.io import save_memory_sharded
+
+        x, _ = mixture_bank(m, d, 4, seed=43)
+        labels = np.random.default_rng(44).random((m, c)).astype(np.float32)
+        f_p = str(tmp_path / "f.bankdir")
+        l_p = str(tmp_path / "l.bankdir")
+        save_memory_sharded(x, f_p, chunk_rows=400)
+        save_memory_sharded(labels, l_p, chunk_rows=400)
+        return x, labels, f_p, l_p
+
+    def test_f32_bankdir_use_int8_warns_and_casts_bf16(self, tmp_path, caplog):
+        import logging
+
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        x, labels, f_p, l_p = self._dirs(tmp_path)
+        with caplog.at_level(logging.WARNING,
+                             logger="hbird_tpu.nn.search_approx"):
+            nn = NearestNeighborSearchApprox.from_bankdir(
+                f_p, l_p, n_neighbors=5, num_leaves=6,
+                num_leaves_to_search=6, query_block=64, use_int8=True,
+            )
+        assert any("use_int8 ignored" in r.message for r in caplog.records)
+        assert nn.bank.dtype == jnp.bfloat16 and not nn.use_int8
+        _, idx, _ = nn.search_with_labels(jnp.asarray(x[:32]), 5)
+        assert (np.asarray(idx) < 1500).all()
+
+    def test_engine_gate_scann_use_tree(self, tmp_path):
+        from hbird_tpu.hbird_eval import HbirdEvaluation
+
+        x, labels, f_p, l_p = self._dirs(tmp_path)
+        ev = HbirdEvaluation.__new__(HbirdEvaluation)
+        ev.f_mem_p, ev.l_mem_p = f_p, l_p
+        ev.n_neighbours = 5
+        ev.nn_method = "approx"  # resolved 'scann'
+        ev.nn_params = {"use_tree": True, "num_leaves": 6,
+                        "num_leaves_to_search": 6, "query_block": 64}
+        ev.num_classes = 4
+        ev.memory_size = None
+        ev.mesh = None
+        ev.bf16_bank = False
+        assert ev.load_memory() is True
+        assert ev.feature_memory is None  # streamed, not flat
+        assert ev.NN_algorithm.use_tree
+
+    def test_find_nearest_key_after_streamed_load(self, tmp_path):
+        from hbird_tpu.hbird_eval import HbirdEvaluation
+
+        x, labels, f_p, l_p = self._dirs(tmp_path)
+        ev = HbirdEvaluation.__new__(HbirdEvaluation)
+        ev.f_mem_p, ev.l_mem_p = f_p, l_p
+        ev.n_neighbours = 5
+        ev.nn_method = "ivf"
+        ev.nn_params = {"num_leaves": 6, "num_leaves_to_search": 6,
+                        "query_block": 64}
+        ev.num_classes = 4
+        ev.memory_size = None
+        ev.mesh = None
+        ev.bf16_bank = False
+        assert ev.load_memory() is True
+        q = x[:8].reshape(2, 4, 16)
+        kf, kl = ev._find_nearest_key_to_query(q)
+        assert kf.shape == (2, 4, 5, 16) and kl.shape == (2, 4, 5, 4)
+        assert np.isfinite(kf).all()
+
+
+class TestCalibrationInvalidatesAOT:
+    def test_aot_declined_after_calibration(self):
+        from hbird_tpu import HbirdEvaluation
+        from hbird_tpu.models import FeatureExtractorSimple
+
+        INPUT, PATCH = 32, 4
+        S = INPUT // PATCH
+
+        def oracle_fn(model, imgs):
+            b, c, h, w = imgs.shape
+            s = h // PATCH
+            xm = imgs.reshape(b, c, s, PATCH, s, PATCH).mean(axis=(3, 5))
+            return xm.transpose(0, 2, 3, 1).reshape(b, s * s, c), None
+
+        rng = np.random.default_rng(45)
+        imgs = rng.normal(size=(8, 3, INPUT, INPUT)).astype(np.float32)
+        ids = (rng.integers(0, 4, (8, 1, INPUT, INPUT)) / 255.0).astype(
+            np.float32
+        )
+        loader = [(imgs[i:i + 4], ids[i:i + 4]) for i in (0, 4)]
+        fe = FeatureExtractorSimple(None, oracle_fn,
+                                    eval_spatial_resolution=S, d_model=3)
+
+        def build():
+            return HbirdEvaluation(
+                fe, loader, num_classes=21, n_neighbours=3,
+                nn_method="ivf", dataset_size=8,
+                nn_params=dict(num_leaves=4, num_leaves_to_search=4,
+                               query_block=64),
+                aot_eval=dict(batch_size=4, input_size=INPUT,
+                              ignore_index=255, img_dtype=np.float32,
+                              mask_dtype=np.float32),
+            )
+
+        # Control: AOT is picked up when nothing changes.
+        ev = build()
+        m0 = float(ev.evaluate(loader, S, ignore_index=255))
+        assert getattr(ev, "_aot_used", False)
+
+        # Calibration changes the static probe count -> AOT declined,
+        # results computed with the calibrated probe via JIT.
+        ev2 = build()
+        p = ev2.NN_algorithm.calibrate_n_probe(0.5, n_queries=128)
+        if p == 4:  # force a different probe count for the test
+            ev2.NN_algorithm.num_leaves_to_search = 2
+        m1 = float(ev2.evaluate(loader, S, ignore_index=255))
+        assert not getattr(ev2, "_aot_used", False)
+        assert np.isfinite(m1) and np.isfinite(m0)
