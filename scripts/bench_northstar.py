@@ -38,9 +38,9 @@ def main():
     ap.add_argument("--k", type=int, default=30)
     ap.add_argument("--no-int8", action="store_true")
     ap.add_argument("--nn-method", default="ivf", choices=["exact", "ivf"],
-                    help="ivf (default — the winning backend: 128s vs "
-                         "169.4s exact at 10.24M on the clustered bank, "
-                         "MEASURED recall@30 0.993 at probe 32/512) = "
+                    help="ivf (default — the winning backend: 121-129s vs "
+                         "185.9s exact at 10.24M on the clustered bank, "
+                         "MEASURED recall@30 0.982 at probe 32/512) = "
                          "leaf-partitioned tree scan, streamed build; "
                          "exact = fused flat kernel")
     ap.add_argument("--num-leaves", type=int, default=512)
