@@ -607,6 +607,8 @@ class HbirdEvaluation:
 
     def _create_nn(self, n_neighbours: int = 30, nn_method: str = "exact", **kwargs):
         logger.info("Building NN index: method=%s, k=%d", nn_method, n_neighbours)
+        explicit_recall = "recall_target" in kwargs
+        explicit_probe = "num_leaves_to_search" in kwargs
         cls, kwargs = self._nn_cls_kwargs(nn_method, **kwargs)
         self.NN_algorithm = cls(
             self.feature_memory,
@@ -615,6 +617,27 @@ class HbirdEvaluation:
             label_memory=self.label_memory,
             **kwargs,
         )
+        # Tree mode + an explicit recall_target (and no explicit probe
+        # count): pick num_leaves_to_search by measurement — the ScaNN
+        # recall-tuned builder. Safe with the background AOT compile:
+        # _take_aot_step declines executables whose baked probe count no
+        # longer matches. Meshed trees calibrate per-shard geometry we
+        # don't measure; skip with a log line.
+        if (
+            getattr(self.NN_algorithm, "use_tree", False)
+            and explicit_recall
+            and not explicit_probe
+        ):
+            if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
+                logger.info(
+                    "recall_target calibration is single-device only; "
+                    "keeping num_leaves_to_search=%d on the meshed tree.",
+                    self.NN_algorithm.num_leaves_to_search,
+                )
+            else:
+                self.NN_algorithm.calibrate_n_probe(
+                    self.NN_algorithm.recall_target
+                )
 
     # ------------------------------------------------------------------
     # Ahead-of-time eval-step compilation (overlaps the memory build)

@@ -909,3 +909,71 @@ class TestCalibrationInvalidatesAOT:
         m1 = float(ev2.evaluate(loader, S, ignore_index=255))
         assert not getattr(ev2, "_aot_used", False)
         assert np.isfinite(m1) and np.isfinite(m0)
+
+
+class TestEngineRecallTargetCalibration:
+    def test_recall_target_nn_param_calibrates(self, caplog):
+        import logging
+
+        from hbird_tpu import HbirdEvaluation
+        from hbird_tpu.models import FeatureExtractorSimple
+
+        INPUT, PATCH = 32, 4
+        S = INPUT // PATCH
+
+        def oracle_fn(model, imgs):
+            b, c, h, w = imgs.shape
+            s = h // PATCH
+            xm = imgs.reshape(b, c, s, PATCH, s, PATCH).mean(axis=(3, 5))
+            return xm.transpose(0, 2, 3, 1).reshape(b, s * s, c), None
+
+        rng = np.random.default_rng(51)
+        imgs = rng.normal(size=(8, 3, INPUT, INPUT)).astype(np.float32)
+        ids = (rng.integers(0, 4, (8, 1, INPUT, INPUT)) / 255.0).astype(
+            np.float32
+        )
+        loader = [(imgs[i:i + 4], ids[i:i + 4]) for i in (0, 4)]
+        fe = FeatureExtractorSimple(None, oracle_fn,
+                                    eval_spatial_resolution=S, d_model=3)
+        with caplog.at_level(logging.INFO,
+                             logger="hbird_tpu.nn.search_approx"):
+            ev = HbirdEvaluation(
+                fe, loader, num_classes=21, n_neighbours=3,
+                nn_method="ivf", dataset_size=8,
+                nn_params=dict(num_leaves=4, recall_target=0.9,
+                               query_block=64),
+            )
+        assert any("Calibrated num_leaves_to_search" in r.message
+                   for r in caplog.records)
+        assert 1 <= ev.NN_algorithm.num_leaves_to_search <= 4
+        miou = float(ev.evaluate(loader, S, ignore_index=255))
+        assert np.isfinite(miou)
+
+    def test_explicit_probe_suppresses_calibration(self, caplog):
+        import logging
+
+        from hbird_tpu import HbirdEvaluation
+        from hbird_tpu.models import FeatureExtractorSimple
+
+        def oracle_fn(model, imgs):
+            b, c, h, w = imgs.shape
+            s = h // 4
+            xm = imgs.reshape(b, c, s, 4, s, 4).mean(axis=(3, 5))
+            return xm.transpose(0, 2, 3, 1).reshape(b, s * s, c), None
+
+        rng = np.random.default_rng(52)
+        imgs = rng.normal(size=(4, 3, 32, 32)).astype(np.float32)
+        ids = (rng.integers(0, 4, (4, 1, 32, 32)) / 255.0).astype(np.float32)
+        fe = FeatureExtractorSimple(None, oracle_fn,
+                                    eval_spatial_resolution=8, d_model=3)
+        with caplog.at_level(logging.INFO,
+                             logger="hbird_tpu.nn.search_approx"):
+            ev = HbirdEvaluation(
+                fe, [(imgs, ids)], num_classes=21, n_neighbours=3,
+                nn_method="ivf", dataset_size=4,
+                nn_params=dict(num_leaves=4, num_leaves_to_search=2,
+                               recall_target=0.9, query_block=64),
+            )
+        assert not any("Calibrated num_leaves_to_search" in r.message
+                       for r in caplog.records)
+        assert ev.NN_algorithm.num_leaves_to_search == 2
