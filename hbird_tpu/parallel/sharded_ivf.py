@@ -198,12 +198,24 @@ def _pad_rows_to(arr, rows):
 def shard_rows(arr, mesh: Mesh, bank_axis: str = "bank"):
     """Place (M, ...) host or device rows row-sharded over `bank_axis`,
     zero-padding M up to a multiple of the axis size. Returns
-    (sharded array, original M)."""
+    (sharded array, original M).
+
+    Multi-process safe: every process holds the same global host view
+    and materializes only its addressable shards
+    (make_array_from_callback) — device_put cannot target
+    non-addressable devices on a multi-host mesh."""
     p = mesh.shape[bank_axis]
     m = arr.shape[0]
     r = _round_up(m, p)
     arr = _pad_rows_to(arr, r)
-    sharded = jax.device_put(arr, NamedSharding(mesh, P(bank_axis)))
+    sharding = NamedSharding(mesh, P(bank_axis))
+    if isinstance(arr, jax.Array):
+        sharded = jax.device_put(arr, sharding)
+    else:
+        arr_np = np.asarray(arr)
+        sharded = jax.make_array_from_callback(
+            arr_np.shape, sharding, lambda idx: arr_np[idx]
+        )
     return sharded, m
 
 
@@ -254,8 +266,15 @@ def sharded_kmeans(
         return c
 
     # Row weights: 1 for real rows, 0 for the shard-padding tail.
-    i_global = jnp.arange(r, dtype=jnp.int32)
-    weights = (i_global < m).astype(jnp.float32)
+    # (Global-array construction keeps this multi-process safe.)
+    w_np = (np.arange(r) < m).astype(np.float32)
+    weights = jax.make_array_from_callback(
+        (r,), NamedSharding(mesh, P(bank_axis)), lambda idx: w_np[idx]
+    )
+    c_np = np.asarray(init_centroids, np.float32)
+    c0 = jax.make_array_from_callback(
+        c_np.shape, NamedSharding(mesh, P()), lambda idx: c_np[idx]
+    )
     fn = jax.shard_map(
         body,
         mesh=mesh,
@@ -263,7 +282,7 @@ def sharded_kmeans(
         out_specs=P(),
         check_vma=False,
     )
-    return fn(bank_sharded, weights, init_centroids.astype(jnp.float32))
+    return fn(bank_sharded, weights, c0)
 
 
 def sharded_assign_leaves(
@@ -289,7 +308,10 @@ def sharded_assign_leaves(
     n_chunks = -(-local // chunk)
     pad_local = n_chunks * chunk
 
-    c_t = centroids.T.astype(jnp.float32)
+    ct_np = np.asarray(centroids, np.float32).T
+    c_t = jax.make_array_from_callback(
+        ct_np.shape, NamedSharding(mesh, P()), lambda idx: ct_np[idx]
+    )
 
     def body(x_l, ct):
         x_p = _pad_rows_to(x_l, pad_local)
@@ -308,13 +330,21 @@ def sharded_assign_leaves(
             return None, (jnp.stack(ids, 1), jnp.stack(tops, 1))
 
         _, (ids, sc) = jax.lax.scan(f, None, blocks)
-        return ids.reshape(pad_local, a)[:local], sc.reshape(pad_local, a)[:local]
+        ids = ids.reshape(pad_local, a)[:local]
+        sc = sc.reshape(pad_local, a)[:local]
+        # Replicate the (tiny) results so EVERY process can read them
+        # for the host greedy layout — a bank-sharded output would not
+        # be host-addressable on a multi-host mesh.
+        return (
+            jax.lax.all_gather(ids, bank_axis, tiled=True),
+            jax.lax.all_gather(sc, bank_axis, tiled=True),
+        )
 
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(bank_axis), P()),
-        out_specs=(P(bank_axis), P(bank_axis)),
+        out_specs=(P(), P()),
         check_vma=False,
     )
     ids, sc = fn(bank_sharded, c_t)
@@ -351,7 +381,13 @@ def ring_scatter_build(
         slots_np = np.concatenate(
             [slots_np, np.full(r - slots_np.shape[0], -1, np.int32)]
         )
-    slots_j = jax.device_put(slots_np, NamedSharding(mesh, P(bank_axis)))
+    # make_array_from_callback: multi-process safe (same global slots on
+    # every process; each materializes its addressable shards).
+    slots_j = jax.make_array_from_callback(
+        slots_np.shape,
+        NamedSharding(mesh, P(bank_axis)),
+        lambda idx: slots_np[idx],
+    )
 
     def body(rows, labs, sl):
         i = jax.lax.axis_index(bank_axis)

@@ -103,3 +103,96 @@ def test_two_process_distributed_smoke(tmp_path):
     for pid, rc, out in outs:
         assert rc == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"WORKER_{pid}_OK" in out
+
+
+TREE_WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from hbird_tpu.parallel import distributed as D
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); coord = sys.argv[3]
+D.initialize(coordinator_address=coord, num_processes=nproc, process_id=pid)
+
+import jax.numpy as jnp
+from hbird_tpu.ops.ivf import train_centroids, tree_layout
+from hbird_tpu.parallel.mesh import make_mesh
+from hbird_tpu.parallel.sharded_ivf import build_ivf_sharded, sharded_kmeans, shard_rows
+
+mesh = make_mesh((2 * nproc,), ("bank",))
+
+# Every process holds the same global host bank (engine convention).
+rng = np.random.default_rng(7)
+centers = rng.normal(size=(6, 16)).astype(np.float32) * 3
+m = 402  # not divisible by 4: exercises the pad-row handling
+x = centers[rng.integers(0, 6, m)] + 0.3 * rng.normal(size=(m, 16)).astype(np.float32)
+x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+labels = rng.random((m, 3)).astype(np.float32)
+
+n_leaves, cap = tree_layout(m, 4)
+n_leaves = ((n_leaves + 2 * nproc - 1) // (2 * nproc)) * (2 * nproc)
+cent = train_centroids(jnp.asarray(x), n_leaves, iters=5, key=jax.random.PRNGKey(0))
+cent = np.asarray(cent)
+
+# psum k-means across PROCESSES
+x_s, m_real = shard_rows(x, mesh)
+ref = np.asarray(
+    sharded_kmeans(x_s, jnp.asarray(cent), mesh, iters=3, valid_rows=m_real)
+)
+assert np.isfinite(ref).all()
+
+parts = build_ivf_sharded(x, labels, jnp.asarray(cent), n_leaves, cap, mesh)
+assert parts["valid_rows"] == m
+assert parts["leaf_fill"].sum() == m, parts["leaf_fill"]
+assert parts["perm"].max() == m - 1
+
+# Check the ADDRESSABLE shards' content against the host layout.
+slots = parts["slots"]
+bank_g = parts["ivf_bank"]
+for shard in bank_g.addressable_shards:
+    start = shard.index[0].start or 0
+    local = np.asarray(shard.data)
+    for s_local in range(local.shape[0]):
+        g = start + s_local
+        row = np.where(slots == g)[0]
+        if row.size:
+            np.testing.assert_allclose(local[s_local], x[row[0]], rtol=1e-6)
+print(f"TREE_WORKER_{pid}_OK", flush=True)
+"""
+
+
+def test_two_process_tree_build(tmp_path):
+    """The distributed IVF tree build runs across REAL processes: psum
+    k-means, replicated assignment, ppermute ring scatter — every step
+    multi-host-safe (global arrays via make_array_from_callback)."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    nproc = 2
+    script = tmp_path / "tree_worker.py"
+    script.write_text(TREE_WORKER)
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(nproc), coord],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((pid, p.returncode, out))
+    for pid, rc, out in outs:
+        assert rc == 0, f"tree worker {pid} failed:\n{out[-3000:]}"
+        assert f"TREE_WORKER_{pid}_OK" in out
