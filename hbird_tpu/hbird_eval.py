@@ -573,6 +573,14 @@ class HbirdEvaluation:
                 logger.info(
                     "Loaded .bankdir memory via the streamed tree build."
                 )
+                # recall_target applies on this path too (the CLI help
+                # promises a MEASURED probe count; the streamed load is
+                # exactly the north-star-scale case where it matters).
+                if (
+                    kwargs.get("recall_target") is not None
+                    and "num_leaves_to_search" not in kwargs
+                ):
+                    self._calibrate_probe_safely()
                 return True
             self.feature_memory = load_memory(self.f_mem_p)
             self.label_memory = load_memory(self.l_mem_p)
@@ -607,7 +615,7 @@ class HbirdEvaluation:
 
     def _create_nn(self, n_neighbours: int = 30, nn_method: str = "exact", **kwargs):
         logger.info("Building NN index: method=%s, k=%d", nn_method, n_neighbours)
-        explicit_recall = "recall_target" in kwargs
+        explicit_recall = kwargs.get("recall_target") is not None
         explicit_probe = "num_leaves_to_search" in kwargs
         cls, kwargs = self._nn_cls_kwargs(nn_method, **kwargs)
         self.NN_algorithm = cls(
@@ -635,9 +643,22 @@ class HbirdEvaluation:
                     self.NN_algorithm.num_leaves_to_search,
                 )
             else:
-                self.NN_algorithm.calibrate_n_probe(
-                    self.NN_algorithm.recall_target
-                )
+                self._calibrate_probe_safely()
+
+    def _calibrate_probe_safely(self) -> None:
+        """Run probe-count calibration WITHOUT overlapping the background
+        AOT compile: concurrent first-compiles through the remote tunnel
+        starve each other (CLAUDE.md), so join any in-flight AOT thread
+        first. (_start_aot_eval skips entirely when calibration is
+        planned; this join is the safety net for other code paths.)"""
+        th = getattr(self, "_aot_thread", None)
+        if th is not None and th.is_alive():
+            logger.info(
+                "Waiting for the in-flight AOT eval compile before probe "
+                "calibration (never overlap fresh remote compiles)."
+            )
+            th.join()
+        self.NN_algorithm.calibrate_n_probe(self.NN_algorithm.recall_target)
 
     # ------------------------------------------------------------------
     # Ahead-of-time eval-step compilation (overlaps the memory build)
@@ -686,6 +707,21 @@ class HbirdEvaluation:
         rows = int(rows)
         d = self.feature_extractor.d_model
         cls, kwargs = self._nn_cls_kwargs(self.nn_method, **self.nn_params)
+        if (
+            kwargs.get("use_tree")
+            and self.nn_params.get("recall_target") is not None
+            and "num_leaves_to_search" not in self.nn_params
+        ):
+            # calibrate_n_probe will re-pick the probe count after the
+            # build: an executable baked with the default would be
+            # discarded, and its in-flight remote compile would overlap
+            # calibration's fresh compiles (never overlap fresh compiles
+            # through the tunnel — CLAUDE.md). Let evaluate() JIT.
+            logger.info(
+                "Skipping the AOT eval compile: recall_target calibration "
+                "will change the probe count after the build."
+            )
+            return
         dummy = cls(
             np.zeros((2, d), np.float32),
             n_neighbors=self.n_neighbours,

@@ -290,10 +290,18 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         self._n_leaves, self._cap = n_leaves, cap
         rng = np.random.default_rng(self.seed)
         n_sample = min(m, self.tree_sample_rows)
-        # Cross-shard gather of the (small) training sample — replicated.
-        sample = bank_s[
-            jnp.asarray(rng.choice(m, n_sample, replace=False))
-        ].astype(jnp.float32)
+        # Cross-shard gather of the (small) training sample, with the
+        # output sharding pinned FULLY REPLICATED: downstream consumers
+        # (train_centroids, refine_centroids_balanced's host layout)
+        # fetch it to host, which on a multi-host mesh is only legal for
+        # replicated arrays — a GSPMD-chosen gather sharding is not.
+        idx = jnp.asarray(rng.choice(m, n_sample, replace=False))
+        sample = jax.jit(
+            lambda b, i: b[i].astype(jnp.float32),
+            out_shardings=jax.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()
+            ),
+        )(bank_s, idx)
         self.centroids = train_centroids(
             sample, n_leaves, iters=self.kmeans_iters,
             key=jax.random.PRNGKey(self.seed),

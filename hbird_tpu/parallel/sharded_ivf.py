@@ -209,6 +209,17 @@ def shard_rows(arr, mesh: Mesh, bank_axis: str = "bank"):
     r = _round_up(m, p)
     arr = _pad_rows_to(arr, r)
     sharding = NamedSharding(mesh, P(bank_axis))
+    if isinstance(arr, jax.Array) and jax.process_count() > 1:
+        if arr.is_fully_addressable:
+            # A process-local device array (e.g. an injected int8 bank):
+            # same contract as host input — every process holds the same
+            # view; pull to host and build the global array shard-wise.
+            arr = np.asarray(arr)
+        else:
+            # Already a global array: reshard through jit — device_put
+            # cannot target non-addressable devices on a multi-host mesh,
+            # but GSPMD resharding can.
+            return jax.jit(lambda x: x, out_shardings=sharding)(arr), m
     if isinstance(arr, jax.Array):
         sharded = jax.device_put(arr, sharding)
     else:
@@ -332,9 +343,11 @@ def sharded_assign_leaves(
         _, (ids, sc) = jax.lax.scan(f, None, blocks)
         ids = ids.reshape(pad_local, a)[:local]
         sc = sc.reshape(pad_local, a)[:local]
-        # Replicate the (tiny) results so EVERY process can read them
-        # for the host greedy layout — a bank-sharded output would not
-        # be host-addressable on a multi-host mesh.
+        # Replicate the results so EVERY process can read them for the
+        # host greedy layout — a bank-sharded output would not be
+        # host-addressable on a multi-host mesh. NOT free: (R, A) int32 +
+        # f32 is ~2*R*A*4 bytes per device (~246 MB at the 10.24M-row
+        # north star) — transient; freed right after the host fetch below.
         return (
             jax.lax.all_gather(ids, bank_axis, tiled=True),
             jax.lax.all_gather(sc, bank_axis, tiled=True),
@@ -348,7 +361,10 @@ def sharded_assign_leaves(
         check_vma=False,
     )
     ids, sc = fn(bank_sharded, c_t)
-    return np.asarray(ids), np.asarray(sc)
+    ids_h, sc_h = np.asarray(ids), np.asarray(sc)
+    ids.delete()
+    sc.delete()
+    return ids_h, sc_h
 
 
 def ring_scatter_build(

@@ -977,3 +977,113 @@ class TestEngineRecallTargetCalibration:
         assert not any("Calibrated num_leaves_to_search" in r.message
                        for r in caplog.records)
         assert ev.NN_algorithm.num_leaves_to_search == 2
+
+    def test_recall_target_none_suppresses_calibration(self, caplog):
+        # Explicit recall_target=None (e.g. YAML `recall_target: null`)
+        # must DISABLE calibration, not trigger it with the auto-derived
+        # target (key-presence vs is-not-None — round-3 review catch).
+        import logging
+
+        from hbird_tpu import HbirdEvaluation
+        from hbird_tpu.models import FeatureExtractorSimple
+
+        def oracle_fn(model, imgs):
+            b, c, h, w = imgs.shape
+            s = h // 4
+            xm = imgs.reshape(b, c, s, 4, s, 4).mean(axis=(3, 5))
+            return xm.transpose(0, 2, 3, 1).reshape(b, s * s, c), None
+
+        rng = np.random.default_rng(53)
+        imgs = rng.normal(size=(4, 3, 32, 32)).astype(np.float32)
+        ids = (rng.integers(0, 4, (4, 1, 32, 32)) / 255.0).astype(np.float32)
+        fe = FeatureExtractorSimple(None, oracle_fn,
+                                    eval_spatial_resolution=8, d_model=3)
+        with caplog.at_level(logging.INFO,
+                             logger="hbird_tpu.nn.search_approx"):
+            ev = HbirdEvaluation(
+                fe, [(imgs, ids)], num_classes=21, n_neighbours=3,
+                nn_method="ivf", dataset_size=4,
+                nn_params=dict(num_leaves=4, recall_target=None,
+                               query_block=64),
+            )
+        assert not any("Calibrated num_leaves_to_search" in r.message
+                       for r in caplog.records)
+
+    def test_recall_target_skips_aot_compile(self, caplog):
+        # When calibration will re-pick the probe count, the background
+        # AOT compile is skipped entirely: its executable would be
+        # discarded AND its in-flight remote compile would overlap
+        # calibration's fresh compiles (never overlap fresh compiles).
+        import logging
+
+        from hbird_tpu import HbirdEvaluation
+        from hbird_tpu.models import FeatureExtractorSimple
+
+        INPUT, PATCH = 32, 4
+        S = INPUT // PATCH
+
+        def oracle_fn(model, imgs):
+            b, c, h, w = imgs.shape
+            s = h // PATCH
+            xm = imgs.reshape(b, c, s, PATCH, s, PATCH).mean(axis=(3, 5))
+            return xm.transpose(0, 2, 3, 1).reshape(b, s * s, c), None
+
+        rng = np.random.default_rng(54)
+        imgs = rng.normal(size=(8, 3, INPUT, INPUT)).astype(np.float32)
+        ids = (rng.integers(0, 4, (8, 1, INPUT, INPUT)) / 255.0).astype(
+            np.float32
+        )
+        loader = [(imgs[i:i + 4], ids[i:i + 4]) for i in (0, 4)]
+        fe = FeatureExtractorSimple(None, oracle_fn,
+                                    eval_spatial_resolution=S, d_model=3)
+        with caplog.at_level(logging.INFO, logger="hbird_tpu.hbird_eval"):
+            ev = HbirdEvaluation(
+                fe, loader, num_classes=21, n_neighbours=3,
+                nn_method="ivf", dataset_size=8,
+                nn_params=dict(num_leaves=4, recall_target=0.9,
+                               query_block=64),
+                aot_eval=dict(batch_size=4, input_size=INPUT,
+                              img_dtype=np.float32,
+                              mask_dtype=np.float32),
+            )
+        assert any("Skipping the AOT eval compile" in r.message
+                   for r in caplog.records)
+        assert getattr(ev, "_aot", None) is None
+        miou = float(ev.evaluate(loader, S, ignore_index=255))
+        assert np.isfinite(miou)
+
+
+class TestBankdirRecallTarget:
+    def test_load_memory_bankdir_honors_recall_target(self, tmp_path, caplog):
+        # The streamed .bankdir load builds the backend via from_bankdir,
+        # bypassing _create_nn — recall_target must still calibrate there
+        # (the CLI promises a MEASURED probe count; round-3 review catch).
+        import logging
+
+        from hbird_tpu.bank.io import save_memory_sharded
+        from hbird_tpu.hbird_eval import HbirdEvaluation
+
+        x, _ = mixture_bank(2000, 16, 4, seed=31)
+        rng = np.random.default_rng(32)
+        labels = rng.random((2000, 5)).astype(np.float32)
+        f_p = str(tmp_path / "f.bankdir")
+        l_p = str(tmp_path / "l.bankdir")
+        save_memory_sharded(x, f_p, chunk_rows=512)
+        save_memory_sharded(labels, l_p, chunk_rows=512)
+
+        ev = HbirdEvaluation.__new__(HbirdEvaluation)
+        ev.f_mem_p, ev.l_mem_p = f_p, l_p
+        ev.n_neighbours = 5
+        ev.nn_method = "ivf"
+        ev.nn_params = {"num_leaves": 8, "recall_target": 0.9,
+                        "query_block": 64, "use_int8": False}
+        ev.num_classes = 5
+        ev.memory_size = None
+        ev.mesh = None
+        ev.bf16_bank = False
+        with caplog.at_level(logging.INFO,
+                             logger="hbird_tpu.nn.search_approx"):
+            assert ev.load_memory() is True
+        assert any("Calibrated num_leaves_to_search" in r.message
+                   for r in caplog.records)
+        assert 1 <= ev.NN_algorithm.num_leaves_to_search <= 8
