@@ -34,6 +34,12 @@ from hbird_tpu.nn.search_base import NearestNeighborSearchBase
 from hbird_tpu.parallel.sharded_knn import sharded_knn_with_labels
 
 
+def _round_up_rows(n_rows: int, mesh) -> int:
+    """Rows padded to a multiple of the mesh's bank axis (shard_rows)."""
+    p = mesh.shape.get("bank", 1)
+    return -(-n_rows // p) * p
+
+
 class NearestNeighborSearchApprox(NearestNeighborSearchBase):
     def __init__(
         self,
@@ -52,6 +58,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         bank_scale: Optional[float] = None,
         tree_slack: float = 1.3,
         shard_probe: str = "split",
+        tree_build_layout: str = "host",
         full_lloyd_iters: int = 0,
         tree_refine_rounds: int = 2,
         tree_sample_rows: int = 131072,
@@ -121,6 +128,15 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         # up to n_probe leaves PER shard (recall >= single-chip, up to p×
         # the scan). nn-param shard_probe=full selects the latter.
         self.shard_probe = str(shard_probe)
+        # Meshed-tree builds only: where the capacity-balanced slot
+        # placement runs. 'host' (default) replicates the (M, A)
+        # choices/scores to every process and runs the greedy there —
+        # bit-identical to the single-device build, O(M) host memory.
+        # 'device' keeps everything mesh-sharded (binary threshold
+        # search + perm-carrying scatter ring): same leaf MEMBERSHIP on
+        # tie-free scores, nothing O(M) on any host — the >100M-row
+        # path. nn-param tree_build_layout=device selects it.
+        self.tree_build_layout = str(tree_build_layout)
         # Meshed-tree builds only: extra Lloyd iterations over the FULL
         # row-sharded bank (psum k-means, sharded_ivf.sharded_kmeans)
         # after the sample training — 0 keeps centroid parity with the
@@ -325,13 +341,21 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             labels = np.zeros((m, 1), np.float32)
         parts = build_ivf_sharded(
             bank_s, labels, self.centroids, n_leaves, cap, mesh,
-            valid_rows=m,
+            valid_rows=m, layout=self.tree_build_layout,
         )
         self.centroids = parts["centroids"]
         self.bank = parts["ivf_bank"]
         self.labels = parts["ivf_labels"]
-        self.perm = jnp.asarray(parts["perm"], jnp.int32)
-        self.slots = jnp.asarray(parts["slots"], jnp.int32)
+        # layout='device' hands back mesh-sharded jax arrays (keep the
+        # sharding); 'host' hands back numpy.
+        self.perm = (
+            parts["perm"] if isinstance(parts["perm"], jax.Array)
+            else jnp.asarray(parts["perm"], jnp.int32)
+        )
+        self.slots = (
+            parts["slots"] if isinstance(parts["slots"], jax.Array)
+            else jnp.asarray(parts["slots"], jnp.int32)
+        )
         self.leaf_valid = jnp.asarray(parts["leaf_fill"], jnp.int32)
         self.valid_rows = m
 
@@ -648,7 +672,13 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             "centroids": jax.ShapeDtypeStruct((n_leaves, d), jnp.float32),
             "leaf_valid": jax.ShapeDtypeStruct((n_leaves,), jnp.int32),
             "perm": jax.ShapeDtypeStruct((n_slots,), jnp.int32),
-            "slots": jax.ShapeDtypeStruct((n_rows,), jnp.int32),
+            # The device-layout meshed build keeps slots row-sharded and
+            # therefore padded up to a multiple of the bank axis.
+            "slots": jax.ShapeDtypeStruct((
+                _round_up_rows(n_rows, self.mesh)
+                if self.tree_build_layout == "device" and self.mesh is not None
+                else n_rows,
+            ), jnp.int32),
         }
         if self.use_int8:
             spec["bank_scale"] = jax.ShapeDtypeStruct((), jnp.float32)

@@ -304,13 +304,18 @@ def sharded_assign_leaves(
     n_choices: int = 3,
     bank_axis: str = "bank",
     chunk_rows: int = 1 << 16,
+    replicate_out: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Top-`n_choices` leaf ids + scores per row, computed shard-locally
     (lax.scan over row chunks inside shard_map so the (rows, n_leaves)
     score block never exceeds chunk_rows x n_leaves per shard).
 
     Returns host (R, A) int32 choices and (R, A) f32 scores in global row
-    order (R includes any shard padding; slice to the real row count)."""
+    order (R includes any shard padding; slice to the real row count).
+
+    replicate_out=False keeps the outputs as row-SHARDED jax arrays
+    instead (the layout='device' build path: nothing O(M) ever lands on
+    host — sharded_balanced_layout consumes them in place)."""
     r, d = bank_sharded.shape
     p = mesh.shape[bank_axis]
     local = r // p
@@ -343,6 +348,8 @@ def sharded_assign_leaves(
         _, (ids, sc) = jax.lax.scan(f, None, blocks)
         ids = ids.reshape(pad_local, a)[:local]
         sc = sc.reshape(pad_local, a)[:local]
+        if not replicate_out:
+            return ids, sc
         # Replicate the results so EVERY process can read them for the
         # host greedy layout — a bank-sharded output would not be
         # host-addressable on a multi-host mesh. NOT free: (R, A) int32 +
@@ -353,28 +360,215 @@ def sharded_assign_leaves(
             jax.lax.all_gather(sc, bank_axis, tiled=True),
         )
 
+    out_spec = P() if replicate_out else P(bank_axis)
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(bank_axis), P()),
-        out_specs=(P(), P()),
+        out_specs=(out_spec, out_spec),
         check_vma=False,
     )
     ids, sc = fn(bank_sharded, c_t)
+    if not replicate_out:
+        return ids, sc
     ids_h, sc_h = np.asarray(ids), np.asarray(sc)
     ids.delete()
     sc.delete()
     return ids_h, sc_h
 
 
+def _f32_sortkey(x: jax.Array) -> jax.Array:
+    """Order-preserving uint32 key for f32 values (no NaNs expected):
+    key(a) > key(b) iff a > b. The standard sign-flip trick — it turns
+    per-leaf "top rows by score" selection into an integer threshold
+    search that binary-converges in exactly 32 psum'd counting passes."""
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    neg = b >= jnp.uint32(0x80000000)
+    return jnp.where(neg, ~b, b | jnp.uint32(0x80000000))
+
+
+def _occurrence_index(mask: jax.Array, leaf: jax.Array, n_leaves: int):
+    """Rank of each masked row among masked rows with the SAME leaf id,
+    in local-row order (int32; arbitrary values on unmasked rows).
+
+    One stable int32 sort + a searchsorted over group starts — the
+    device analogue of the host greedy's per-leaf rank bookkeeping."""
+    n = leaf.shape[0]
+    key = jnp.where(mask, leaf, n_leaves).astype(jnp.int32)
+    order = jnp.argsort(key, stable=True)
+    sk = key[order]
+    starts = jnp.searchsorted(sk, jnp.arange(n_leaves + 1, dtype=jnp.int32))
+    occ_sorted = jnp.arange(n, dtype=jnp.int32) - starts[sk]
+    return jnp.zeros((n,), jnp.int32).at[order].set(occ_sorted)
+
+
+def sharded_balanced_layout(
+    choices_s: jax.Array,
+    scores_s: jax.Array,
+    n_leaves: int,
+    cap: int,
+    mesh: Mesh,
+    *,
+    bank_axis: str = "bank",
+    valid_rows: int,
+) -> Tuple[jax.Array, np.ndarray]:
+    """Device-sharded twin of ops/ivf.balanced_layout: place every row
+    into a capacity-bounded leaf slot with NOTHING O(M) on any host.
+
+    The host greedy admits, per choice pass and per leaf, the strongest
+    `cap - fill` candidates by (score desc, earlier-row-wins). Here the
+    same selection is computed as a per-leaf THRESHOLD: a vectorized
+    binary search over uint32 score sortkeys (32 iterations, each one
+    shard-local mask + segment_sum + psum) finds the admission cutoff
+    theta_l for every leaf at once; exact-tie rows are resolved by a
+    second binary search over global row ids. Leaf MEMBERSHIP is
+    identical to the host greedy whenever scores are tie-free (ties are
+    still deterministic, but the host greedy breaks later-pass ties in
+    its internal resort order rather than by row id); within-leaf slot
+    ORDER is shard-major instead of score-sorted — the leaf scan kernels
+    reduce over whole leaves, so slot order never affects search results.
+
+    Rows that fit none of their choices spill to leaves with room, in
+    global row order (the host greedy spills the same SET of rows).
+
+    Args:
+        choices_s / scores_s: (R, A) int32 / f32, row-sharded over
+            `bank_axis` (sharded_assign_leaves(replicate_out=False));
+            R includes shard padding.
+        valid_rows: real row count M (padding rows get slot -1).
+
+    Returns (slots (R,) int32 row-sharded, -1 on padding;
+             leaf_fill (n_leaves,) np.int64 on host — L values only).
+    """
+    r, a = choices_s.shape
+    p = mesh.shape[bank_axis]
+    local = r // p
+    m = int(valid_rows)
+    ll = n_leaves
+    assert n_leaves * cap >= m, (n_leaves, cap, m)
+
+    def body(ch, sc):
+        i = jax.lax.axis_index(bank_axis)
+        grow = (i * local + jnp.arange(local)).astype(jnp.int32)
+        valid = grow < m
+        placed = ~valid  # padding rows are never candidates
+        slot = jnp.full((local,), -1, jnp.int32)
+        fill = jnp.zeros((ll,), jnp.int32)
+        shard_pos = jnp.arange(p, dtype=jnp.int32)
+
+        def count_per_leaf(mask, leaf):
+            c = jax.ops.segment_sum(
+                mask.astype(jnp.int32), leaf, num_segments=ll
+            )
+            return jax.lax.psum(c, bank_axis)
+
+        for pass_a in range(a):
+            leaf = ch[:, pass_a]
+            key = _f32_sortkey(sc[:, pass_a])
+            cand = ~placed
+            room = jnp.maximum(cap - fill, 0)
+
+            # Stage 1: per-leaf score threshold — smallest theta with
+            # count(key > theta) <= room (count is non-increasing in
+            # theta, so the invariant count(hi) <= room < count(lo-1)
+            # binary-converges over the full uint32 range in 32 steps).
+            def s1(_, lh):
+                lo, hi = lh
+                mid = lo + ((hi - lo) >> jnp.uint32(1))
+                cnt = count_per_leaf(cand & (key > mid[leaf]), leaf)
+                ok = cnt <= room
+                return (
+                    jnp.where(ok, lo, mid + jnp.uint32(1)),
+                    jnp.where(ok, mid, hi),
+                )
+
+            theta, _ = jax.lax.fori_loop(
+                0, 32, s1,
+                (jnp.zeros((ll,), jnp.uint32),
+                 jnp.full((ll,), 0xFFFFFFFF, jnp.uint32)),
+            )
+            above = cand & (key > theta[leaf])
+            n_above = count_per_leaf(above, leaf)
+            tie = cand & (key == theta[leaf])
+            n_tie = count_per_leaf(tie, leaf)
+            need = jnp.minimum(room - n_above, n_tie)
+
+            # Stage 2: admit `need` exact-tie rows per leaf, smallest
+            # global row ids first — smallest cutoff c with
+            # count(tie & row < c) >= need; unique row ids make the
+            # count step by 1, so exactly `need` rows land under c.
+            def s2(_, lh):
+                lo, hi = lh
+                mid = lo + ((hi - lo) >> 1)
+                g = count_per_leaf(tie & (grow < mid[leaf]), leaf)
+                ok = g >= need
+                return (
+                    jnp.where(ok, lo, mid + 1),
+                    jnp.where(ok, mid, hi),
+                )
+
+            cutoff, _ = jax.lax.fori_loop(
+                0, 32, s2,
+                (jnp.zeros((ll,), jnp.int32),
+                 jnp.full((ll,), r, jnp.int32)),
+            )
+            acc = above | (tie & (grow < cutoff[leaf]))
+
+            # Slot positions: fill + earlier shards' admissions + local
+            # occurrence rank. Shard-major within-leaf order (see doc).
+            occ = _occurrence_index(acc, leaf, ll)
+            cnt_local = jax.ops.segment_sum(
+                acc.astype(jnp.int32), leaf, num_segments=ll
+            )
+            cnt_all = jax.lax.all_gather(cnt_local, bank_axis)  # (p, L)
+            earlier = jnp.where(
+                shard_pos[:, None] < i, cnt_all, 0
+            ).sum(axis=0)
+            base = fill + earlier
+            slot = jnp.where(
+                acc, leaf * cap + base[leaf] + occ, slot
+            )
+            placed = placed | acc
+            fill = fill + n_above + need
+
+        # Spill pass: remaining rows go to leaves with room, in global
+        # row order (deterministic; same spilled SET as the host greedy).
+        un = ~placed
+        occ_un = jnp.cumsum(un.astype(jnp.int32)) - un.astype(jnp.int32)
+        u_all = jax.lax.all_gather(un.sum().astype(jnp.int32), bank_axis)
+        base_u = jnp.where(shard_pos < i, u_all, 0).sum()
+        gpos = base_u + occ_un
+        room = jnp.maximum(cap - fill, 0)
+        rc = jnp.cumsum(room)
+        leaf_sp = jnp.clip(
+            jnp.searchsorted(rc, gpos, side="right").astype(jnp.int32),
+            0, ll - 1,
+        )
+        offset = gpos - (rc[leaf_sp] - room[leaf_sp])
+        slot = jnp.where(un, leaf_sp * cap + fill[leaf_sp] + offset, slot)
+        fill = fill + count_per_leaf(un, leaf_sp)
+        return slot, fill
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(bank_axis), P(bank_axis)),
+        out_specs=(P(bank_axis), P()),
+        check_vma=False,
+    )
+    slots, fill = fn(choices_s, scores_s)
+    return slots, np.asarray(fill).astype(np.int64)
+
+
 def ring_scatter_build(
     bank_sharded: jax.Array,
     labels_sharded: jax.Array,
-    slots: np.ndarray,
+    slots,
     n_slots: int,
     mesh: Mesh,
     *,
     bank_axis: str = "bank",
+    with_perm: bool = False,
 ):
     """Scatter row-sharded (rows, labels) into the leaf-slab layout,
     slab-sharded over the same axis, WITHOUT gathering the bank anywhere.
@@ -384,70 +578,94 @@ def ring_scatter_build(
     whose global slot falls inside its slab (out-of-slab rows land on a
     throwaway pad row). slots entries of -1 (padding) never place.
 
-    Returns (ivf_bank (n_slots, D), ivf_labels (n_slots, C)), sharded.
+    `slots` is either a host (M,) array (replicated layout) or an
+    already row-sharded (R,) jax.Array (sharded_balanced_layout output).
+
+    Returns (ivf_bank (n_slots, D), ivf_labels (n_slots, C)), sharded —
+    plus, when `with_perm`, a slab-sharded (n_slots,) int32 perm mapping
+    slot -> original global row id (-1 padding), built by riding the
+    global row ids around the same ring (no host-side O(n_slots) perm).
     """
     p = mesh.shape[bank_axis]
     assert n_slots % p == 0, (n_slots, p)
     local_slots = n_slots // p
     r = bank_sharded.shape[0]
-    slots_np = np.asarray(slots, np.int32)
-    if slots_np.shape[0] < r:
-        # Shard-padding rows must carry slot -1 (never placed) — a zero
-        # pad would overwrite real slot 0 with a zero row.
-        slots_np = np.concatenate(
-            [slots_np, np.full(r - slots_np.shape[0], -1, np.int32)]
+    if isinstance(slots, jax.Array):
+        assert slots.shape[0] == r, (slots.shape, r)
+        slots_j = slots
+    else:
+        slots_np = np.asarray(slots, np.int32)
+        if slots_np.shape[0] < r:
+            # Shard-padding rows must carry slot -1 (never placed) — a
+            # zero pad would overwrite real slot 0 with a zero row.
+            slots_np = np.concatenate(
+                [slots_np, np.full(r - slots_np.shape[0], -1, np.int32)]
+            )
+        # make_array_from_callback: multi-process safe (same global slots
+        # on every process; each materializes its addressable shards).
+        slots_j = jax.make_array_from_callback(
+            slots_np.shape,
+            NamedSharding(mesh, P(bank_axis)),
+            lambda idx: slots_np[idx],
         )
-    # make_array_from_callback: multi-process safe (same global slots on
-    # every process; each materializes its addressable shards).
-    slots_j = jax.make_array_from_callback(
-        slots_np.shape,
-        NamedSharding(mesh, P(bank_axis)),
-        lambda idx: slots_np[idx],
-    )
 
     def body(rows, labs, sl):
         i = jax.lax.axis_index(bank_axis)
         start = i * local_slots
+        local_r = rows.shape[0]
+        gids = (i * local_r + jnp.arange(local_r)).astype(jnp.int32)
 
         def scat(state, payload):
-            slab, lslab = state
-            rr, ll, ss = payload
+            slab, lslab, pslab = state
+            rr, ll, ss, gg = payload
             loc = ss - start
             ok = (loc >= 0) & (loc < local_slots)
             loc = jnp.where(ok, loc, local_slots)  # dump row
-            return slab.at[loc].set(rr), lslab.at[loc].set(ll)
+            return (
+                slab.at[loc].set(rr),
+                lslab.at[loc].set(ll),
+                pslab.at[loc].set(gg),
+            )
 
         slab = jnp.zeros((local_slots + 1, rows.shape[1]), rows.dtype)
         lslab = jnp.zeros((local_slots + 1, labs.shape[1]), jnp.float32)
-        state = scat((slab, lslab), (rows, labs.astype(jnp.float32), sl))
+        pslab = jnp.full((local_slots + 1,), -1, jnp.int32)
+        state = scat(
+            (slab, lslab, pslab),
+            (rows, labs.astype(jnp.float32), sl, gids),
+        )
 
         perm = [(j, (j + 1) % p) for j in range(p)]
 
         def ring_step(carry, _):
-            state, rr, ll, ss = carry
+            state, rr, ll, ss, gg = carry
             rr = jax.lax.ppermute(rr, bank_axis, perm)
             ll = jax.lax.ppermute(ll, bank_axis, perm)
             ss = jax.lax.ppermute(ss, bank_axis, perm)
-            state = scat(state, (rr, ll, ss))
-            return (state, rr, ll, ss), None
+            gg = jax.lax.ppermute(gg, bank_axis, perm)
+            state = scat(state, (rr, ll, ss, gg))
+            return (state, rr, ll, ss, gg), None
 
         (state, *_), _ = jax.lax.scan(
             ring_step,
-            (state, rows, labs.astype(jnp.float32), sl),
+            (state, rows, labs.astype(jnp.float32), sl, gids),
             None,
             length=p - 1,
         )
-        slab, lslab = state
-        return slab[:local_slots], lslab[:local_slots]
+        slab, lslab, pslab = state
+        return slab[:local_slots], lslab[:local_slots], pslab[:local_slots]
 
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(bank_axis), P(bank_axis), P(bank_axis)),
-        out_specs=(P(bank_axis), P(bank_axis)),
+        out_specs=(P(bank_axis), P(bank_axis), P(bank_axis)),
         check_vma=False,
     )
-    return fn(bank_sharded, labels_sharded, slots_j)
+    slab, lslab, pslab = fn(bank_sharded, labels_sharded, slots_j)
+    if with_perm:
+        return slab, lslab, pslab
+    return slab, lslab
 
 
 def build_ivf_sharded(
@@ -461,10 +679,23 @@ def build_ivf_sharded(
     bank_axis: str = "bank",
     n_choices: int = 3,
     valid_rows: Optional[int] = None,
+    layout: str = "host",
 ):
     """Distributed tree build: row-sharded bank -> leaf-slab-sharded IVF
-    arrays, with the slot placement bit-identical to the single-device
-    build (same host greedy on the same choices/scores).
+    arrays.
+
+    layout='host' (default): the (M, A) choices/scores replicate to every
+        process and the SAME host greedy as the single-device build
+        (ops/ivf.balanced_layout) places them — slot assignment is
+        bit-identical to an unsharded build. O(M) host memory per
+        process (~2.4 GB at 100M rows).
+    layout='device': nothing O(M) ever lands on any host — leaf
+        admission runs as a sharded binary threshold search
+        (sharded_balanced_layout) and the slot->row perm rides the
+        scatter ring. Leaf MEMBERSHIP matches the host greedy on
+        tie-free scores; within-leaf slot ORDER is shard-major instead
+        of score-sorted (leaf scans reduce over whole leaves, so search
+        results are unaffected). The >100M-row path.
 
     (Full-bank Lloyd refinement is NOT folded in here: plain Lloyd after
     a capacity refinement undoes it — run sharded_kmeans yourself before
@@ -480,8 +711,11 @@ def build_ivf_sharded(
             without it the zero pad rows would be placed in leaves as
             searchable ghost candidates.
 
-    Returns dict(ivf_bank, ivf_labels (sharded), centroids, perm (np),
-        slots (np), leaf_fill (np), valid_rows).
+    Returns dict(ivf_bank, ivf_labels (sharded), centroids, perm,
+        slots, leaf_fill (np), valid_rows). With layout='host' perm/slots
+        are host numpy ((n_slots,) / (M,)); with layout='device' they are
+        mesh-sharded jax int32 arrays ((n_slots,) slab-sharded / (R,)
+        row-sharded incl. padding rows at -1).
     """
     if isinstance(bank, jax.Array) and bank.sharding.is_equivalent_to(
         NamedSharding(mesh, P(bank_axis)), bank.ndim
@@ -495,6 +729,32 @@ def build_ivf_sharded(
         labels = np.zeros((m, 1), np.float32)
     assert labels.shape[0] == m, (labels.shape, m)
     labels_s, _ = shard_rows(labels, mesh, bank_axis)
+    if layout not in ("host", "device"):
+        raise ValueError(f"layout must be 'host' or 'device': {layout}")
+    n_slots = n_leaves * cap
+
+    if layout == "device":
+        choices_s, scores_s = sharded_assign_leaves(
+            bank_s, centroids, mesh, n_choices=n_choices,
+            bank_axis=bank_axis, replicate_out=False,
+        )
+        slots_s, fill = sharded_balanced_layout(
+            choices_s, scores_s, n_leaves, cap, mesh,
+            bank_axis=bank_axis, valid_rows=m,
+        )
+        ivf_bank, ivf_labels, perm_s = ring_scatter_build(
+            bank_s, labels_s, slots_s, n_slots, mesh,
+            bank_axis=bank_axis, with_perm=True,
+        )
+        return dict(
+            ivf_bank=ivf_bank,
+            ivf_labels=ivf_labels,
+            centroids=centroids,
+            perm=perm_s,
+            slots=slots_s,
+            leaf_fill=fill,
+            valid_rows=m,
+        )
 
     choices, scores = sharded_assign_leaves(
         bank_s, centroids, mesh, n_choices=n_choices, bank_axis=bank_axis
@@ -504,7 +764,6 @@ def build_ivf_sharded(
     from hbird_tpu.ops.ivf import balanced_layout
 
     slots, fill = balanced_layout(choices, n_leaves, cap, scores=scores)
-    n_slots = n_leaves * cap
     ivf_bank, ivf_labels = ring_scatter_build(
         bank_s, labels_s, slots, n_slots, mesh, bank_axis=bank_axis
     )

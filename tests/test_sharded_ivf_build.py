@@ -193,6 +193,138 @@ class TestShardedBuildParity:
         assert (idx >= 0).all() and (idx < 2999).all(), idx.max()
 
 
+class TestDeviceLayout:
+    """layout='device' (sharded_balanced_layout): the fully-on-device
+    placement — binary threshold search over psum'd counts + a
+    perm-carrying scatter ring; nothing O(M) lands on any host. Leaf
+    MEMBERSHIP must match the host greedy on tie-free scores (within-leaf
+    slot order is shard-major by design and never affects leaf scans)."""
+
+    def setup_method(self, _):
+        self.m, self.d = 3000, 32
+        self.x = _clustered(self.m, self.d, 10, seed=7)
+        rng = np.random.default_rng(8)
+        self.labels = rng.random((self.m, 5)).astype(np.float32)
+        self.n_leaves, self.cap = tree_layout(self.m, 8)
+        self.n_leaves = ((self.n_leaves + 3) // 4) * 4
+        from hbird_tpu.ops.ivf import train_centroids
+
+        self.cent = train_centroids(
+            jnp.asarray(self.x), self.n_leaves, iters=6,
+            key=jax.random.PRNGKey(0),
+        )
+        self.mesh = make_mesh((4,), ("bank",))
+
+    def _builds(self, x, labels):
+        host = build_ivf_sharded(
+            x, labels, self.cent, self.n_leaves, self.cap, self.mesh
+        )
+        dev = build_ivf_sharded(
+            x, labels, self.cent, self.n_leaves, self.cap, self.mesh,
+            layout="device",
+        )
+        return host, dev
+
+    def test_membership_matches_host_greedy(self):
+        host, dev = self._builds(self.x, self.labels)
+        np.testing.assert_array_equal(dev["leaf_fill"], host["leaf_fill"])
+        perm_d = np.asarray(dev["perm"])
+        cap, ll = self.cap, self.n_leaves
+        # Spilled rows (placed off their 3 choices) may legitimately land
+        # in DIFFERENT room-bearing leaves than the host greedy assigns —
+        # compare the spilled SET, and exact leaf equality for the rest.
+        choices = np.asarray(
+            assign_leaves(jnp.asarray(self.x), self.cent, n_choices=3)
+        )
+        leaf_host = np.asarray(host["slots"]) // cap
+        leaf_dev = np.full(self.m, -1, np.int64)
+        for l in range(ll):
+            members = perm_d[l * cap : (l + 1) * cap]
+            leaf_dev[members[members >= 0]] = l
+        assert (leaf_dev >= 0).all()  # every row placed exactly once
+        spilled_host = ~(choices == leaf_host[:, None]).any(1)
+        spilled_dev = ~(choices == leaf_dev[:, None]).any(1)
+        np.testing.assert_array_equal(spilled_dev, spilled_host)
+        on_choice = ~spilled_host
+        np.testing.assert_array_equal(
+            leaf_dev[on_choice], leaf_host[on_choice]
+        )
+
+    def test_slots_perm_and_slabs_consistent(self):
+        host, dev = self._builds(self.x, self.labels)
+        slots_d = np.asarray(dev["slots"])
+        perm_d = np.asarray(dev["perm"])
+        r = slots_d.shape[0]
+        assert r % 4 == 0 and r >= self.m
+        assert (slots_d[self.m:] == -1).all()  # shard padding never places
+        real = slots_d[: self.m]
+        assert (real >= 0).all()
+        assert np.unique(real).size == self.m  # injective placement
+        np.testing.assert_array_equal(perm_d[real], np.arange(self.m))
+        assert (perm_d >= 0).sum() == self.m
+        # slab rows hold the original vectors/labels at their slots
+        bank_d = np.asarray(dev["ivf_bank"])
+        labels_d = np.asarray(dev["ivf_labels"])
+        np.testing.assert_allclose(
+            bank_d[real], self.x, rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            labels_d[real], self.labels, rtol=1e-6, atol=1e-7
+        )
+
+    def test_uneven_rows_no_ghosts(self):
+        x = self.x[:2998]
+        labels = self.labels[:2998]
+        dev = build_ivf_sharded(
+            x, labels, self.cent, self.n_leaves, self.cap, self.mesh,
+            layout="device",
+        )
+        assert dev["leaf_fill"].sum() == 2998
+        perm_d = np.asarray(dev["perm"])
+        assert (perm_d >= 0).sum() == 2998
+        assert perm_d.max() == 2997
+
+    def test_backend_device_layout_search_matches_host(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        rng = np.random.default_rng(12)
+        q = jnp.asarray(
+            self.x[rng.integers(0, self.m, 200)]
+            + 0.02 * rng.normal(size=(200, self.d)).astype(np.float32)
+        )
+
+        def build(layout):
+            return NearestNeighborSearchApprox(
+                self.x, n_neighbors=10,
+                label_memory=jnp.asarray(self.labels), use_tree=True,
+                # Probe every leaf: spilled rows may sit in different
+                # (but equally arbitrary) leaves across layouts, so a
+                # partial probe could legitimately differ — full probe
+                # pins value-exact agreement while still exercising the
+                # whole device-layout search path (perm/slots gathers).
+                mesh=self.mesh, num_leaves=self.n_leaves,
+                num_leaves_to_search=self.n_leaves, query_block=64,
+                tree_build_layout=layout,
+            )
+
+        nn_h, nn_d = build("host"), build("device")
+        assert nn_d.bank.sharding.is_equivalent_to(
+            NamedSharding(self.mesh, P("bank")), 2
+        )
+        vals_h, idx_h, labs_h = nn_h.search_with_labels(q, 10)
+        vals_d, idx_d, labs_d = nn_d.search_with_labels(q, 10)
+        # Tie-free scores + (near-)identical leaf membership => identical
+        # neighbor VALUE lists; indices may permute within equal scores.
+        np.testing.assert_allclose(
+            np.asarray(vals_d), np.asarray(vals_h), rtol=1e-5, atol=1e-6
+        )
+        idx_d = np.asarray(idx_d)
+        assert (idx_d >= 0).all() and (idx_d < self.m).all()
+        np.testing.assert_allclose(
+            np.asarray(labs_d), self.labels[idx_d], atol=1e-6
+        )
+
+
 class TestRingScatter:
     def test_ragged_rows_and_spill_padding(self):
         # 37 rows, 2 slots-worth of slabs over 4 shards; -1 slots dropped.
