@@ -10,6 +10,10 @@ Formats by extension:
     .npy          numpy array
     .npz          numpy (key 'memory')
     .pt/.pth/.bin torch.load (read-only support)
+    .bankdir      chunked directory format (streaming, >RAM banks)
+    .treedir      a BUILT IVF index (slabs + centroids + layout) —
+                  ScaNN searcher-serialization parity; reload skips
+                  k-means/layout/scatter entirely
     other         treated as .npy
 """
 
@@ -211,6 +215,178 @@ def load_memory_sharded(
         (padded, dim), sharding, buffers
     )
     return arr, rows
+
+
+# ---------------------------------------------------------------------------
+# Built-tree persistence (.treedir) — serialize a CONSTRUCTED IVF index
+# (leaf slabs + centroids + layout), the counterpart of ScaNN's searcher
+# serialization (the reference's ScaNN backend rebuilds its tree every
+# run from the flat bank, reference hbird/nn/search_scann.py:21-33; at
+# 10M+ rows the k-means + balanced layout + scatter cost ~a minute that
+# a load skips entirely).
+#
+# Layout:  <dir>/tree_meta.json    scalars (cap, valid_rows, dtype, ...)
+#          <dir>/meta.npz          centroids/leaf_valid/perm/slots
+#          <dir>/slabs.bankdir/    chunked (n_slots, D) leaf slabs
+#          <dir>/labels.bankdir/   chunked (n_slots, C) f32 soft labels
+#
+# bfloat16 slabs are stored as uint16 bit patterns (np.save round-trips
+# ml_dtypes.bfloat16 as raw void bytes and loses the dtype); the true
+# dtype lives in tree_meta.json and the loader bitcasts back on device.
+# ---------------------------------------------------------------------------
+
+TREE_META = "tree_meta.json"
+
+
+def is_tree_path(path: str) -> bool:
+    return path.endswith(".treedir") or os.path.isfile(
+        os.path.join(path, TREE_META)
+    )
+
+
+def tree_path_on_disk(path: str) -> Optional[str]:
+    """The directory a saved tree at `path` lives in, or None."""
+    if os.path.isdir(path) and os.path.isfile(os.path.join(path, TREE_META)):
+        return path
+    return None
+
+
+def _storage_view(blk: np.ndarray):
+    """bfloat16 -> uint16 bit view for npy storage (no copy)."""
+    if blk.dtype.name == "bfloat16":
+        return blk.view(np.uint16)
+    return blk
+
+
+def save_tree_state(
+    dir_path: str,
+    *,
+    ivf_bank,
+    ivf_labels,
+    centroids,
+    leaf_valid,
+    perm,
+    slots,
+    cap: int,
+    valid_rows: int,
+    bank_scale: Optional[float] = None,
+    chunk_rows: int = 262144,
+) -> str:
+    """Write a built tree. `ivf_bank`/`ivf_labels` may be jax arrays
+    (device-resident, possibly mesh-sharded) or numpy — rows are pulled
+    chunk-by-chunk, so peak host memory is one chunk."""
+    os.makedirs(dir_path, exist_ok=True)
+    n_slots, dim = ivf_bank.shape
+    bank_dtype = np.asarray(ivf_bank[:1]).dtype.name
+
+    def bank_blocks():
+        for s in range(0, n_slots, chunk_rows):
+            yield _storage_view(
+                np.asarray(ivf_bank[s : min(s + chunk_rows, n_slots)])
+            )
+
+    def label_blocks():
+        for s in range(0, n_slots, chunk_rows):
+            yield np.asarray(
+                ivf_labels[s : min(s + chunk_rows, n_slots)], np.float32
+            )
+
+    save_memory_sharded(
+        bank_blocks(), os.path.join(dir_path, "slabs.bankdir")
+    )
+    save_memory_sharded(
+        label_blocks(), os.path.join(dir_path, "labels.bankdir")
+    )
+    np.savez(
+        os.path.join(dir_path, "meta.npz"),
+        centroids=np.asarray(centroids, np.float32),
+        leaf_valid=np.asarray(leaf_valid, np.int32),
+        perm=np.asarray(perm, np.int32),
+        slots=np.asarray(slots, np.int32),
+    )
+    meta = {
+        "version": 1,
+        "cap": int(cap),
+        "valid_rows": int(valid_rows),
+        "n_leaves": int(n_slots // cap),
+        "dim": int(dim),
+        "n_classes": int(ivf_labels.shape[1]),
+        "bank_dtype": bank_dtype,
+        "bank_scale": None if bank_scale is None else float(bank_scale),
+    }
+    with open(os.path.join(dir_path, TREE_META), "w") as f:
+        json.dump(meta, f)
+    return dir_path
+
+
+def load_tree_state(dir_path: str, *, mesh=None, bank_axis: str = "bank"):
+    """Load a saved tree as a dict ready for
+    NearestNeighborSearchApprox.from_tree_state.
+
+    Slabs are assembled ON DEVICE chunk-by-chunk with donated updates
+    (peak device = full slab + one chunk; peak host = one chunk). With a
+    mesh, slabs/labels land directly row-sharded over `bank_axis`
+    (n_slots = n_leaves * cap is leaf-aligned, so P(bank_axis) row
+    sharding keeps whole leaves on one shard whenever n_leaves divides
+    by the axis size — the meshed tree's own layout invariant)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    with open(os.path.join(dir_path, TREE_META)) as f:
+        meta = json.load(f)
+    z = np.load(os.path.join(dir_path, "meta.npz"))
+    dtype = jnp.dtype(meta["bank_dtype"])
+    stored_bf16 = meta["bank_dtype"] == "bfloat16"
+
+    def assemble(sub, out_dtype):
+        path = os.path.join(dir_path, sub)
+        if mesh is not None:
+            p = mesh.shape[bank_axis]
+            # Every shard must hold WHOLE leaves: a leaf straddling a
+            # shard boundary breaks the leaf-scan kernel's slab layout
+            # (and load_memory_sharded would pad, shifting boundaries).
+            # n_leaves % p == 0 is the meshed tree's own build invariant.
+            if meta["n_leaves"] % p != 0:
+                raise ValueError(
+                    f"treedir has {meta['n_leaves']} leaves, not divisible "
+                    f"by the mesh bank axis ({p}); leaves would straddle "
+                    "shard boundaries"
+                )
+            arr, _rows = load_memory_sharded(path, mesh=mesh, bank_axis=bank_axis)
+        else:
+            info = sharded_memory_info(path)
+            n, d = info["rows"], info["dim"]
+            buf = jnp.zeros((n, d), jnp.dtype(info["dtype"]))
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def upd(b, blk, s):
+                return jax.lax.dynamic_update_slice(b, blk, (s, 0))
+
+            for start, blk in iter_memory_chunks(path):
+                buf = upd(buf, jnp.asarray(np.asarray(blk)), start)
+            arr = buf
+        if sub.startswith("slabs") and stored_bf16:
+            arr = jax.lax.bitcast_convert_type(arr, jnp.bfloat16)
+        elif arr.dtype != out_dtype:
+            arr = arr.astype(out_dtype)
+        return arr
+
+    ivf_bank = assemble("slabs.bankdir", dtype)
+    ivf_labels = assemble("labels.bankdir", jnp.float32)
+    return dict(
+        ivf_bank=ivf_bank,
+        ivf_labels=ivf_labels,
+        centroids=z["centroids"],
+        leaf_valid=z["leaf_valid"],
+        perm=z["perm"],
+        slots=z["slots"],
+        cap=meta["cap"],
+        valid_rows=meta["valid_rows"],
+        bank_scale=meta["bank_scale"],
+        n_leaves=meta["n_leaves"],
+    )
 
 
 def iter_bankdir_windows(

@@ -254,6 +254,7 @@ class HbirdEvaluation:
             self._create_nn(
                 self.n_neighbours, nn_method=self.nn_method, **self.nn_params
             )
+        self._save_tree_if_requested()
 
     # ------------------------------------------------------------------
     # Memory construction
@@ -525,8 +526,13 @@ class HbirdEvaluation:
     # Persistence (reference hbird_eval.py:371-400)
     # ------------------------------------------------------------------
     def _save_memory(self) -> None:
-        from hbird_tpu.bank.io import save_memory
+        from hbird_tpu.bank.io import is_tree_path, save_memory
 
+        if self.f_mem_p is not None and is_tree_path(self.f_mem_p):
+            # '.treedir' saves the BUILT index (slabs + centroids +
+            # layout), which only exists after _create_nn — deferred to
+            # _save_tree_if_requested() in __init__.
+            return
         if self.f_mem_p is not None:
             # save_memory may append '.npy'; keep the real path so a later
             # load_memory() on this instance finds it.
@@ -536,10 +542,55 @@ class HbirdEvaluation:
             self.l_mem_p = save_memory(self.label_memory, self.l_mem_p)
             logger.info("Saved label memory to: %s", self.l_mem_p)
 
+    def _save_tree_if_requested(self) -> None:
+        """f_mem_p ending in '.treedir' serializes the BUILT IVF index
+        (ScaNN searcher-serialization parity): reloading skips k-means +
+        layout + scatter entirely (load_memory / load_tree)."""
+        from hbird_tpu.bank.io import is_tree_path
+
+        if self.f_mem_p is None or not is_tree_path(self.f_mem_p):
+            return
+        if not getattr(self.NN_algorithm, "use_tree", False):
+            logger.warning(
+                "f_mem_p=%s requests a tree save but the backend is not a "
+                "tree (nn_method=%s); nothing saved. Use nn_method='ivf' "
+                "or a '.npy/.bankdir' path for flat banks.",
+                self.f_mem_p, self.nn_method,
+            )
+            return
+        self.NN_algorithm.save_tree(self.f_mem_p)
+        logger.info("Saved built tree index to: %s", self.f_mem_p)
+
     def load_memory(self) -> bool:
         """Load previously saved memories (supports .npy/.npz and torch .pt —
         the strict-parity injection hook for reference-built banks)."""
-        from hbird_tpu.bank.io import load_memory, memory_path_on_disk
+        from hbird_tpu.bank.io import load_memory, memory_path_on_disk, tree_path_on_disk
+
+        if self.f_mem_p is not None and tree_path_on_disk(self.f_mem_p):
+            # Saved BUILT tree: self-contained (slabs + labels + layout),
+            # l_mem_p unused. Search-time nn-params pass through.
+            search_keys = (
+                "num_leaves_to_search", "recall_target", "query_block",
+                "shard_probe", "num_reordering_candidates",
+            )
+            kwargs = {
+                k: v for k, v in self.nn_params.items() if k in search_keys
+            }
+            self.NN_algorithm = NearestNeighborSearchApprox.load_tree(
+                self.f_mem_p,
+                n_neighbors=self.n_neighbours,
+                mesh=self.mesh,
+                **kwargs,
+            )
+            self.feature_memory = None
+            self.label_memory = None
+            logger.info("Loaded built tree index from: %s", self.f_mem_p)
+            if (
+                kwargs.get("recall_target") is not None
+                and "num_leaves_to_search" not in kwargs
+            ):
+                self._calibrate_probe_safely()
+            return True
 
         if (
             self.f_mem_p is not None
