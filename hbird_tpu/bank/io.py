@@ -258,6 +258,68 @@ def _storage_view(blk: np.ndarray):
     return blk
 
 
+def _host_replicated(x) -> np.ndarray:
+    """Fetch a (possibly multi-host-sharded) array to host on EVERY
+    process: non-fully-addressable jax arrays are resharded to fully
+    replicated first (np.asarray on them raises otherwise)."""
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        x = jax.jit(
+            lambda a: a,
+            out_shardings=NamedSharding(x.sharding.mesh, PartitionSpec()),
+        )(x)
+    return np.asarray(x)
+
+
+def _save_rows_distributed(arr, dir_path: str) -> None:
+    """Multi-process .bankdir writer for a row-sharded global jax array
+    on a shared filesystem: every process writes ONLY its addressable
+    shards (replica 0 of each row slice), then process 0 derives the
+    manifest from the array's global sharding — no shard ever crosses
+    hosts. Produces the same manifest schema the single-process writer
+    does, so every reader works unchanged."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    os.makedirs(dir_path, exist_ok=True)
+    rows, dim = arr.shape
+    for shard in arr.addressable_shards:
+        if shard.replica_id != 0:
+            continue  # row slices replicated across another mesh axis
+        s = shard.index[0].start or 0
+        np.save(
+            os.path.join(dir_path, f"chunk_g{s:012d}.npy"),
+            _storage_view(np.asarray(shard.data)),
+        )
+    multihost_utils.sync_global_devices("treedir_chunks:" + dir_path)
+    if jax.process_index() == 0:
+        slices = set()
+        for idx in arr.sharding.devices_indices_map(arr.shape).values():
+            s = idx[0].start or 0
+            e = idx[0].stop if idx[0].stop is not None else rows
+            slices.add((s, e))
+        dtype = np.dtype(arr.dtype).name
+        if dtype == "bfloat16":
+            dtype = "uint16"
+        with open(os.path.join(dir_path, SHARDED_MANIFEST), "w") as f:
+            json.dump(
+                {
+                    "rows": rows,
+                    "dim": dim,
+                    "dtype": dtype,
+                    "chunks": [
+                        {"file": f"chunk_g{s:012d}.npy", "rows": e - s}
+                        for s, e in sorted(slices)
+                    ],
+                },
+                f,
+            )
+    multihost_utils.sync_global_devices("treedir_manifest:" + dir_path)
+
+
 def save_tree_state(
     dir_path: str,
     *,
@@ -274,48 +336,75 @@ def save_tree_state(
 ) -> str:
     """Write a built tree. `ivf_bank`/`ivf_labels` may be jax arrays
     (device-resident, possibly mesh-sharded) or numpy — rows are pulled
-    chunk-by-chunk, so peak host memory is one chunk."""
+    chunk-by-chunk, so peak host memory is one chunk.
+
+    Multi-process safe (shared filesystem): slab/label shards that span
+    hosts are written by their OWNING process (each process only its
+    addressable shards), the small meta arrays are resharded to
+    replicated for the host fetch, and only process 0 writes manifests/
+    meta; barriers order the phases."""
+    import jax
+
+    multiproc = jax.process_count() > 1 and isinstance(ivf_bank, jax.Array)
+    primary = jax.process_index() == 0
     os.makedirs(dir_path, exist_ok=True)
     n_slots, dim = ivf_bank.shape
-    bank_dtype = np.asarray(ivf_bank[:1]).dtype.name
+    bank_dtype = np.dtype(ivf_bank.dtype).name
 
-    def bank_blocks():
-        for s in range(0, n_slots, chunk_rows):
-            yield _storage_view(
-                np.asarray(ivf_bank[s : min(s + chunk_rows, n_slots)])
-            )
+    if multiproc:
+        _save_rows_distributed(ivf_bank, os.path.join(dir_path, "slabs.bankdir"))
+        _save_rows_distributed(
+            ivf_labels, os.path.join(dir_path, "labels.bankdir")
+        )
+    else:
+        def bank_blocks():
+            for s in range(0, n_slots, chunk_rows):
+                yield _storage_view(
+                    np.asarray(ivf_bank[s : min(s + chunk_rows, n_slots)])
+                )
 
-    def label_blocks():
-        for s in range(0, n_slots, chunk_rows):
-            yield np.asarray(
-                ivf_labels[s : min(s + chunk_rows, n_slots)], np.float32
-            )
+        def label_blocks():
+            for s in range(0, n_slots, chunk_rows):
+                yield np.asarray(
+                    ivf_labels[s : min(s + chunk_rows, n_slots)], np.float32
+                )
 
-    save_memory_sharded(
-        bank_blocks(), os.path.join(dir_path, "slabs.bankdir")
-    )
-    save_memory_sharded(
-        label_blocks(), os.path.join(dir_path, "labels.bankdir")
-    )
-    np.savez(
-        os.path.join(dir_path, "meta.npz"),
-        centroids=np.asarray(centroids, np.float32),
-        leaf_valid=np.asarray(leaf_valid, np.int32),
-        perm=np.asarray(perm, np.int32),
-        slots=np.asarray(slots, np.int32),
-    )
-    meta = {
-        "version": 1,
-        "cap": int(cap),
-        "valid_rows": int(valid_rows),
-        "n_leaves": int(n_slots // cap),
-        "dim": int(dim),
-        "n_classes": int(ivf_labels.shape[1]),
-        "bank_dtype": bank_dtype,
-        "bank_scale": None if bank_scale is None else float(bank_scale),
-    }
-    with open(os.path.join(dir_path, TREE_META), "w") as f:
-        json.dump(meta, f)
+        save_memory_sharded(
+            bank_blocks(), os.path.join(dir_path, "slabs.bankdir")
+        )
+        save_memory_sharded(
+            label_blocks(), os.path.join(dir_path, "labels.bankdir")
+        )
+    # The replication reshard inside _host_replicated is a COLLECTIVE —
+    # every process must participate, even though only process 0 writes.
+    cent_h = _host_replicated(centroids).astype(np.float32)
+    lv_h = _host_replicated(leaf_valid).astype(np.int32)
+    perm_h = _host_replicated(perm).astype(np.int32)
+    slots_h = _host_replicated(slots).astype(np.int32)
+    if primary:
+        np.savez(
+            os.path.join(dir_path, "meta.npz"),
+            centroids=cent_h,
+            leaf_valid=lv_h,
+            perm=perm_h,
+            slots=slots_h,
+        )
+        meta = {
+            "version": 1,
+            "cap": int(cap),
+            "valid_rows": int(valid_rows),
+            "n_leaves": int(n_slots // cap),
+            "dim": int(dim),
+            "n_classes": int(ivf_labels.shape[1]),
+            "bank_dtype": bank_dtype,
+            "bank_scale": None if bank_scale is None else float(bank_scale),
+        }
+        with open(os.path.join(dir_path, TREE_META), "w") as f:
+            json.dump(meta, f)
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("treedir_meta:" + dir_path)
     return dir_path
 
 

@@ -528,12 +528,11 @@ class HbirdEvaluation:
     def _save_memory(self) -> None:
         from hbird_tpu.bank.io import is_tree_path, save_memory
 
-        if self.f_mem_p is not None and is_tree_path(self.f_mem_p):
-            # '.treedir' saves the BUILT index (slabs + centroids +
-            # layout), which only exists after _create_nn — deferred to
-            # _save_tree_if_requested() in __init__.
-            return
-        if self.f_mem_p is not None:
+        if self.f_mem_p is not None and not is_tree_path(self.f_mem_p):
+            # '.treedir' paths save the BUILT index instead, which only
+            # exists after _create_nn — deferred to
+            # _save_tree_if_requested() in __init__. The label save below
+            # is independent and never skipped.
             # save_memory may append '.npy'; keep the real path so a later
             # load_memory() on this instance finds it.
             self.f_mem_p = save_memory(self.feature_memory, self.f_mem_p)
@@ -551,11 +550,17 @@ class HbirdEvaluation:
         if self.f_mem_p is None or not is_tree_path(self.f_mem_p):
             return
         if not getattr(self.NN_algorithm, "use_tree", False):
+            # Don't lose the (possibly expensive) memory build: persist
+            # the flat memory instead, under an explicit '.npy' suffix.
+            from hbird_tpu.bank.io import save_memory
+
+            fallback = save_memory(self.feature_memory, self.f_mem_p + ".flat")
             logger.warning(
                 "f_mem_p=%s requests a tree save but the backend is not a "
-                "tree (nn_method=%s); nothing saved. Use nn_method='ivf' "
-                "or a '.npy/.bankdir' path for flat banks.",
-                self.f_mem_p, self.nn_method,
+                "tree (nn_method=%s); saved the FLAT feature memory to %s "
+                "instead. Use nn_method='ivf' for a tree, or a "
+                "'.npy/.bankdir' path for flat banks.",
+                self.f_mem_p, self.nn_method, fallback,
             )
             return
         self.NN_algorithm.save_tree(self.f_mem_p)
@@ -589,7 +594,17 @@ class HbirdEvaluation:
                 kwargs.get("recall_target") is not None
                 and "num_leaves_to_search" not in kwargs
             ):
-                self._calibrate_probe_safely()
+                # Same guard as _create_nn: calibrate_n_probe is
+                # single-device only (meshed trees probe per-shard
+                # geometry the oracle doesn't measure).
+                if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
+                    logger.info(
+                        "recall_target calibration is single-device only; "
+                        "keeping num_leaves_to_search=%d on the meshed tree.",
+                        self.NN_algorithm.num_leaves_to_search,
+                    )
+                else:
+                    self._calibrate_probe_safely()
             return True
 
         if (

@@ -401,14 +401,21 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             kwargs.setdefault("bank_scale", bank_scale)
         # Route through __init__ machinery minus the index build: set the
         # config fields via a tiny dummy, then install the real state.
+        # The dummy builds with mesh=None — a meshed dummy would run the
+        # FULL distributed build machinery (sharded k-means, shard_map
+        # assignment, ring scatter) on 2 rows: several fresh XLA compiles
+        # through the remote tunnel, all immediately overwritten below.
+        # No __init__ config derives from mesh, so installing it after
+        # is equivalent.
         cfg = cls(
             np.zeros((2, ivf_bank.shape[1]), np.float32),
             n_neighbors=n_neighbors,
             label_memory=np.zeros((2, ivf_labels.shape[1]), np.float32),
-            mesh=mesh,
+            mesh=None,
             **kwargs,
         )
         self.__dict__.update(cfg.__dict__)
+        self.mesh = mesh
         self.feature_memory = None
         self.bank = ivf_bank
         self.labels = (
@@ -747,11 +754,23 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             "leaf_valid": jax.ShapeDtypeStruct((n_leaves,), jnp.int32),
             "perm": jax.ShapeDtypeStruct((n_slots,), jnp.int32),
             # The device-layout meshed build keeps slots row-sharded and
-            # therefore padded up to a multiple of the bank axis.
+            # therefore padded up to a multiple of the bank axis. When
+            # THIS instance already holds the real n_rows tree (e.g. a
+            # .treedir load, whose build-time layout the config no longer
+            # records), the persisted array length is authoritative — a
+            # real tree's slots always covers all n_rows, while the AOT
+            # dummy's 2-row slots never does (pin_expected_rows resets
+            # valid_rows, so the array LENGTH is the discriminator).
             "slots": jax.ShapeDtypeStruct((
-                _round_up_rows(n_rows, self.mesh)
-                if self.tree_build_layout == "device" and self.mesh is not None
-                else n_rows,
+                self.slots.shape[0]
+                if getattr(self, "slots", None) is not None
+                and self.slots.shape[0] >= n_rows
+                else (
+                    _round_up_rows(n_rows, self.mesh)
+                    if self.tree_build_layout == "device"
+                    and self.mesh is not None
+                    else n_rows
+                ),
             ), jnp.int32),
         }
         if self.use_int8:

@@ -158,6 +158,37 @@ for shard in bank_g.addressable_shards:
         row = np.where(slots == g)[0]
         if row.size:
             np.testing.assert_allclose(local[s_local], x[row[0]], rtol=1e-6)
+
+# Built-tree persistence across processes: each process writes ONLY its
+# addressable slab shards, process 0 writes manifests/meta, barriers
+# order the phases; the reload places shards back without any host ever
+# holding a non-addressable row.
+treedir = sys.argv[4]
+from hbird_tpu.bank.io import load_tree_state, save_tree_state
+
+save_tree_state(
+    treedir, ivf_bank=bank_g, ivf_labels=parts["ivf_labels"],
+    centroids=parts["centroids"], leaf_valid=parts["leaf_fill"],
+    perm=parts["perm"], slots=slots, cap=cap, valid_rows=m,
+)
+st = load_tree_state(treedir, mesh=mesh)
+assert st["cap"] == cap and st["valid_rows"] == m
+np.testing.assert_array_equal(np.asarray(st["perm"]), np.asarray(parts["perm"]))
+np.testing.assert_allclose(
+    np.asarray(st["centroids"]), np.asarray(parts["centroids"]), rtol=1e-6
+)
+old_by_start = {
+    (sh.index[0].start or 0): np.asarray(sh.data)
+    for sh in bank_g.addressable_shards if sh.replica_id == 0
+}
+for sh in st["ivf_bank"].addressable_shards:
+    if sh.replica_id != 0:
+        continue
+    start = sh.index[0].start or 0
+    assert start in old_by_start, (start, sorted(old_by_start))
+    np.testing.assert_allclose(
+        np.asarray(sh.data), old_by_start[start], rtol=1e-6
+    )
 print(f"TREE_WORKER_{pid}_OK", flush=True)
 """
 
@@ -171,6 +202,7 @@ def test_two_process_tree_build(tmp_path):
     nproc = 2
     script = tmp_path / "tree_worker.py"
     script.write_text(TREE_WORKER)
+    treedir = str(tmp_path / "shared.treedir")
     procs = []
     for pid in range(nproc):
         env = dict(os.environ)
@@ -179,7 +211,8 @@ def test_two_process_tree_build(tmp_path):
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         procs.append(
             subprocess.Popen(
-                [sys.executable, str(script), str(pid), str(nproc), coord],
+                [sys.executable, str(script), str(pid), str(nproc), coord,
+                 treedir],
                 env=env, cwd=REPO,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             )

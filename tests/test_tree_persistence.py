@@ -201,3 +201,79 @@ class TestEngineTreedir:
         assert ev2.NN_algorithm.use_tree
         miou2 = ev2.evaluate(ds.val_dataloader(), S)
         assert abs(float(miou1) - float(miou2)) < 1e-6, (miou1, miou2)
+
+    def test_treedir_does_not_skip_label_save(self, tmp_path):
+        """Review finding: the .treedir early return must not swallow the
+        independent l_mem_p label save, and a non-tree backend asked for
+        a tree save must persist the flat memory (as .flat.npy) instead
+        of silently losing the build."""
+        import os
+
+        from hbird_tpu.data import get_dataset
+        from hbird_tpu.data.synthetic import make_voc_fixture
+        from hbird_tpu.data.transforms import get_hbird_val_transforms
+        from hbird_tpu.hbird_eval import HbirdEvaluation
+        from hbird_tpu.models.extractor import FeatureExtractorSimple
+
+        root = str(tmp_path / "voc")
+        make_voc_fixture(
+            root, n_train=8, n_val=2, size=(64, 48), colorize=True,
+            seed=5, class_pool=[1, 2],
+        )
+        va = get_hbird_val_transforms(INPUT)
+        fe = FeatureExtractorSimple(
+            None, _oracle_fn, eval_spatial_resolution=S, d_model=3
+        )
+        ds, _ = get_dataset("voc", root, 4, 0, va, va, None, None)
+        tree_p = str(tmp_path / "t.treedir")
+        lab_p = str(tmp_path / "labels.npy")
+        ev = HbirdEvaluation(
+            fe, ds.train_dataloader(), num_classes=21, n_neighbours=5,
+            nn_method="ivf",
+            nn_params={"num_leaves": 4, "num_leaves_to_search": 4,
+                       "query_block": 16},
+            f_mem_p=tree_p, l_mem_p=lab_p,
+        )
+        assert os.path.isfile(lab_p)  # label save not skipped
+        np.testing.assert_allclose(np.load(lab_p), ev.label_memory, atol=0)
+        assert tree_path_on_disk(tree_p)
+
+        # Non-tree backend + .treedir path: flat memory saved as .flat.npy.
+        tree_p2 = str(tmp_path / "t2.treedir")
+        ev2 = HbirdEvaluation(
+            fe, ds.train_dataloader(), num_classes=21, n_neighbours=5,
+            nn_method="exact", f_mem_p=tree_p2,
+        )
+        assert not tree_path_on_disk(tree_p2)
+        assert os.path.isfile(tree_p2 + ".flat.npy")
+        np.testing.assert_allclose(
+            np.load(tree_p2 + ".flat.npy"), ev2.feature_memory, atol=0
+        )
+
+    def test_meshed_load_with_recall_target_does_not_calibrate(
+        self, fixture, tmp_path
+    ):
+        """Review finding: recall_target on a meshed treedir load must
+        skip calibration (calibrate_n_probe is single-device only), not
+        crash on its assert."""
+        x, labels, q = fixture
+        nn = _build(x, labels)
+        path = str(tmp_path / "idx.treedir")
+        nn.save_tree(path)
+
+        from hbird_tpu.hbird_eval import HbirdEvaluation
+
+        mesh = make_mesh((1, 4), ("data", "bank"))
+        ev = HbirdEvaluation.__new__(HbirdEvaluation)
+        ev.f_mem_p = path
+        ev.l_mem_p = None
+        ev.mesh = mesh
+        ev.n_neighbours = 10
+        ev.nn_params = {"recall_target": 0.9, "query_block": 64}
+        ev.nn_method = "ivf"
+        assert ev.load_memory()
+        assert ev.NN_algorithm.use_tree
+        # No calibration ran; the default probe count is intact and
+        # the loaded meshed index searches fine.
+        v, i, _ = ev.NN_algorithm.search_with_labels(q, 10)
+        assert np.isfinite(np.asarray(v, np.float32)).all()
