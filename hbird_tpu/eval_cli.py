@@ -67,6 +67,12 @@ class RunConfig:
     train_fs_path: Optional[str] = None
     val_fs_path: Optional[str] = None
 
+    # Memory/index persistence (engine f_mem_p/l_mem_p; the reference
+    # engine supports these but its CLI never exposed them)
+    f_mem_p: Optional[str] = None
+    l_mem_p: Optional[str] = None
+    load_memory: bool = False
+
     # Model selection
     model: Optional[str] = None  # hbird_tpu preset name
     timm_model: Optional[str] = None
@@ -232,6 +238,9 @@ def run(cfg: RunConfig) -> Dict[str, Any]:
         ignore_index=cfg.ignore_index,
         train_fs_path=cfg.train_fs_path,
         val_fs_path=cfg.val_fs_path,
+        f_mem_p=cfg.f_mem_p,
+        l_mem_p=cfg.l_mem_p,
+        load_memory=cfg.load_memory,
         loader_mode=cfg.loader_mode,
         device_normalize=cfg.device_normalize,
         mesh=mesh,
@@ -326,6 +335,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nn-param", action="append", default=[], metavar="KEY=VALUE",
                    help="Extra NN param (repeatable), e.g. --nn-param use_fp16=true")
     p.add_argument("--memory-size", type=int, default=None)
+    p.add_argument("--f-mem-p", dest="f_mem_p", type=str, default=None,
+                   help="Persist the feature memory / index here. Formats "
+                        "by suffix: .npy/.npz/.pt flat bank, .bankdir "
+                        "streaming chunked bank, .treedir the BUILT IVF "
+                        "index (reload skips k-means+layout+scatter).")
+    p.add_argument("--l-mem-p", dest="l_mem_p", type=str, default=None,
+                   help="Persist the label memory here (same formats; "
+                        "unused by .treedir, which stores labels inside).")
+    p.add_argument("--load-memory", action="store_true",
+                   help="Restore the persisted bank/index from "
+                        "--f-mem-p/--l-mem-p instead of building from the "
+                        "train set (falls back to a build when absent).")
     p.add_argument("--ignore-index", type=int, default=255)
     p.add_argument("--train-fs", dest="train_fs_path", type=str, default=None)
     p.add_argument("--val-fs", dest="val_fs_path", type=str, default=None)
@@ -414,6 +435,9 @@ def main(argv: Optional[List[str]] = None) -> None:
         ignore_index=args.ignore_index,
         train_fs_path=args.train_fs_path,
         val_fs_path=args.val_fs_path,
+        f_mem_p=args.f_mem_p,
+        l_mem_p=args.l_mem_p,
+        load_memory=bool(args.load_memory),
         model=args.model,
         timm_model=args.timm_model,
         dinov2=args.dinov2,

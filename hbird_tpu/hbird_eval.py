@@ -158,6 +158,7 @@ class HbirdEvaluation:
         bf16_bank: bool = False,
         device_norm=None,
         aot_eval: Optional[Dict[str, Any]] = None,
+        load_memory: bool = False,
     ) -> None:
         del device  # placement is managed by JAX/the mesh
         # (mean, std) for on-device normalization of uint8 batches (see
@@ -223,6 +224,23 @@ class HbirdEvaluation:
             self.label_memory = np.zeros((memory_size, num_classes), np.float32)
 
         self._aot = None
+        if load_memory:
+            # Restore a persisted bank/index instead of building from the
+            # train_loader (.npy/.npz/.pt flat banks, .bankdir streamed
+            # trees, .treedir serialized indexes). Falls back to a normal
+            # build when the paths aren't on disk.
+            with self.timer.phase("memory_build"):
+                loaded = self.load_memory()
+            if loaded:
+                logger.info(
+                    "Memory restored from disk; skipping the train build."
+                )
+                return
+            logger.warning(
+                "load_memory=True but no persisted memory found at "
+                "f_mem_p=%s / l_mem_p=%s; building from the train loader.",
+                self.f_mem_p, self.l_mem_p,
+            )
         if aot_eval:
             try:
                 self._start_aot_eval(**aot_eval)
@@ -1249,6 +1267,7 @@ def hbird_evaluation(
     bf16_model: bool = False,
     f_mem_p: Optional[str] = None,
     l_mem_p: Optional[str] = None,
+    load_memory: bool = False,
     loader_mode: str = "thread",
     device_normalize: bool = True,
 ):
@@ -1264,6 +1283,10 @@ def hbird_evaluation(
     Unlike the reference wrapper (which never forwards the persistence
     paths, hbird_eval.py:701-712), f_mem_p/l_mem_p are accepted here and
     passed through so one-call users get bank save/restore too.
+    load_memory=True restores the persisted bank/index (flat .npy/.npz/
+    .pt, streamed .bankdir, serialized .treedir) instead of building
+    from the train loader — falling back to a build when nothing is on
+    disk yet, so the same command warms the cache on first run.
 
     `model` may be:
     - an hbird_tpu (ViT, params) tuple, used with FeatureExtractor;
@@ -1339,6 +1362,7 @@ def hbird_evaluation(
         dataset_size=dataset_size,
         f_mem_p=f_mem_p,
         l_mem_p=l_mem_p,
+        load_memory=load_memory,
         mesh=mesh,
         seed=seed,
         bf16_bank=bf16_bank,

@@ -26,6 +26,23 @@ class TestParser:
         assert args.ignore_index == 255
         assert args.augmentation_epoch == 1
 
+    def test_memory_persistence_flags(self):
+        p = build_parser()
+        args = p.parse_args(
+            ["--dataset-name", "voc", "--data-dir", "/d", "--d-model", "768",
+             "--patch-size", "14", "--f-mem-p", "/tmp/idx.treedir",
+             "--l-mem-p", "/tmp/lab.npy", "--load-memory"]
+        )
+        assert args.f_mem_p == "/tmp/idx.treedir"
+        assert args.l_mem_p == "/tmp/lab.npy"
+        assert args.load_memory is True
+        # default off
+        args2 = p.parse_args(
+            ["--dataset-name", "voc", "--data-dir", "/d", "--d-model", "768",
+             "--patch-size", "14"]
+        )
+        assert args2.f_mem_p is None and not args2.load_memory
+
     def test_nn_param_coercion(self):
         out = _parse_nn_params(
             ["num_leaves=512", "recall_target=0.9", "use_fp16=true", "name=abc"]

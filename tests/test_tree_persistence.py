@@ -202,6 +202,56 @@ class TestEngineTreedir:
         miou2 = ev2.evaluate(ds.val_dataloader(), S)
         assert abs(float(miou1) - float(miou2)) < 1e-6, (miou1, miou2)
 
+    def test_engine_load_memory_flag_skips_build(self, tmp_path):
+        """HbirdEvaluation(load_memory=True) restores the persisted index
+        in __init__ and never touches the train loader; identical mIoU."""
+        from hbird_tpu.data import get_dataset
+        from hbird_tpu.data.synthetic import make_voc_fixture
+        from hbird_tpu.data.transforms import get_hbird_val_transforms
+        from hbird_tpu.hbird_eval import HbirdEvaluation
+        from hbird_tpu.models.extractor import FeatureExtractorSimple
+
+        root = str(tmp_path / "voc")
+        make_voc_fixture(
+            root, n_train=10, n_val=4, size=(64, 48), colorize=True,
+            seed=9, class_pool=[1, 2, 3],
+        )
+        va = get_hbird_val_transforms(INPUT)
+        fe = FeatureExtractorSimple(
+            None, _oracle_fn, eval_spatial_resolution=S, d_model=3
+        )
+        ds, _ = get_dataset("voc", root, 4, 0, va, va, None, None)
+        path = str(tmp_path / "idx.treedir")
+        nn_params = {"num_leaves": 4, "num_leaves_to_search": 4,
+                     "query_block": 16}
+        ev = HbirdEvaluation(
+            fe, ds.train_dataloader(), num_classes=21, n_neighbours=5,
+            nn_method="ivf", nn_params=dict(nn_params), f_mem_p=path,
+        )
+        miou1 = ev.evaluate(ds.val_dataloader(), S)
+
+        def exploding_loader():
+            raise AssertionError("train loader touched on a load path")
+            yield  # pragma: no cover
+
+        ev2 = HbirdEvaluation(
+            fe, exploding_loader(), num_classes=21, n_neighbours=5,
+            nn_method="ivf", nn_params=dict(nn_params), f_mem_p=path,
+            load_memory=True,
+        )
+        assert ev2.NN_algorithm.use_tree
+        miou2 = ev2.evaluate(ds.val_dataloader(), S)
+        assert abs(float(miou1) - float(miou2)) < 1e-6, (miou1, miou2)
+
+        # Missing file -> falls back to building (and here the loader
+        # explodes, proving the fallback really builds).
+        with pytest.raises(AssertionError, match="train loader touched"):
+            HbirdEvaluation(
+                fe, exploding_loader(), num_classes=21, n_neighbours=5,
+                nn_method="ivf", nn_params=dict(nn_params),
+                f_mem_p=str(tmp_path / "absent.treedir"), load_memory=True,
+            )
+
     def test_treedir_does_not_skip_label_save(self, tmp_path):
         """Review finding: the .treedir early return must not swallow the
         independent l_mem_p label save, and a non-tree backend asked for
