@@ -327,11 +327,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "across shards (recall can differ from single-chip "
                         "under leaf skew); --nn-param shard_probe=full "
                         "probes up to num_leaves_to_search leaves per "
-                        "shard for recall >= single-chip. Single-chip ivf "
-                        "with --nn-param recall_target=R (and no explicit "
+                        "shard for recall >= single-chip. ivf with "
+                        "--nn-param recall_target=R (and no explicit "
                         "num_leaves_to_search) MEASURES the smallest probe "
                         "count meeting recall R against a full-probe "
-                        "oracle.")
+                        "oracle — meshed trees calibrate through the real "
+                        "sharded path, shard_probe semantics included.")
     p.add_argument("--nn-param", action="append", default=[], metavar="KEY=VALUE",
                    help="Extra NN param (repeatable), e.g. --nn-param use_fp16=true")
     p.add_argument("--memory-size", type=int, default=None)

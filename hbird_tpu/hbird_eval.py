@@ -612,17 +612,7 @@ class HbirdEvaluation:
                 kwargs.get("recall_target") is not None
                 and "num_leaves_to_search" not in kwargs
             ):
-                # Same guard as _create_nn: calibrate_n_probe is
-                # single-device only (meshed trees probe per-shard
-                # geometry the oracle doesn't measure).
-                if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
-                    logger.info(
-                        "recall_target calibration is single-device only; "
-                        "keeping num_leaves_to_search=%d on the meshed tree.",
-                        self.NN_algorithm.num_leaves_to_search,
-                    )
-                else:
-                    self._calibrate_probe_safely()
+                self._calibrate_probe_safely()
             return True
 
         if (
@@ -713,21 +703,14 @@ class HbirdEvaluation:
         # count): pick num_leaves_to_search by measurement — the ScaNN
         # recall-tuned builder. Safe with the background AOT compile:
         # _take_aot_step declines executables whose baked probe count no
-        # longer matches. Meshed trees calibrate per-shard geometry we
-        # don't measure; skip with a log line.
+        # longer matches. Meshed trees calibrate through the real sharded
+        # search path (shard_probe semantics included).
         if (
             getattr(self.NN_algorithm, "use_tree", False)
             and explicit_recall
             and not explicit_probe
         ):
-            if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
-                logger.info(
-                    "recall_target calibration is single-device only; "
-                    "keeping num_leaves_to_search=%d on the meshed tree.",
-                    self.NN_algorithm.num_leaves_to_search,
-                )
-            else:
-                self._calibrate_probe_safely()
+            self._calibrate_probe_safely()
 
     def _calibrate_probe_safely(self) -> None:
         """Run probe-count calibration WITHOUT overlapping the background

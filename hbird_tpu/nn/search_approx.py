@@ -652,7 +652,13 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         queries. Query DENSITY matters (block-level probing shares a
         shortlist per sorted 256-query tile): the default matches an
         engine batch (16 imgs x 37^2 patches); sparse calibration sets
-        would understate recall. Single-device trees only.
+        would understate recall.
+
+        Meshed trees calibrate through the REAL sharded search path
+        (sharded_ivf_knn_with_labels, honoring `shard_probe` semantics),
+        so the measured recall is exactly what the deployed
+        configuration delivers — probing every leaf per shard is still
+        the exact-search oracle.
 
         Returns the chosen probe count. One-time cost: one full-probe
         scan of the calibration queries plus one scan per candidate
@@ -663,28 +669,51 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         subsequent calibrations hit the compile cache.
         """
         assert self.use_tree, "probe calibration is a tree-mode feature"
-        assert self.mesh is None, (
-            "probe calibration requires a single-device tree"
-        )
         from hbird_tpu.ops.ivf import ivf_search
         from hbird_tpu.utils.logging import get_logger
 
         k = k or self.n_neighbors
         rng = np.random.default_rng(seed)
         n_q = min(n_queries, self.valid_rows)
-        rows = jnp.take(
-            self.slots, jnp.asarray(rng.choice(self.valid_rows, n_q,
-                                               replace=False)), axis=0,
-        )
-        q = jnp.take(self.bank, rows, axis=0)
+        choice = jnp.asarray(rng.choice(self.valid_rows, n_q, replace=False))
+        meshed = self.mesh is not None and self.mesh.shape.get("bank", 1) > 1
+        if meshed:
+            from jax.sharding import NamedSharding, PartitionSpec
 
-        def probe(n_probe):
-            _, idx = ivf_search(
-                q, self.bank, self.centroids, self.leaf_valid, k,
-                cap=self._cap, n_probe=n_probe,
-                block_q=self.query_block,
+            # Replicated gathers: slots/bank may be mesh-sharded, and on
+            # a multi-host mesh only replicated outputs are
+            # host-readable / safe to feed back in as queries.
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            rows = jax.jit(
+                lambda s, c: jnp.take(s, c, axis=0), out_shardings=rep
+            )(self.slots, choice)
+            q = jax.jit(
+                lambda b, r: jnp.take(b, r, axis=0), out_shardings=rep
+            )(self.bank, rows)
+
+            from hbird_tpu.parallel.sharded_ivf import (
+                sharded_ivf_knn_with_labels,
             )
-            return np.asarray(idx)
+
+            def probe(n_probe):
+                _, idx, _ = sharded_ivf_knn_with_labels(
+                    q, self.bank, self.labels, self.centroids,
+                    self.leaf_valid, k, mesh=self.mesh, cap=self._cap,
+                    n_probe=n_probe, block_q=self.query_block,
+                    shard_probe=self.shard_probe,
+                )
+                return np.asarray(idx)
+        else:
+            rows = jnp.take(self.slots, choice, axis=0)
+            q = jnp.take(self.bank, rows, axis=0)
+
+            def probe(n_probe):
+                _, idx = ivf_search(
+                    q, self.bank, self.centroids, self.leaf_valid, k,
+                    cap=self._cap, n_probe=n_probe,
+                    block_q=self.query_block,
+                )
+                return np.asarray(idx)
 
         oracle = probe(self._n_leaves)
 

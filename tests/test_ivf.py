@@ -716,24 +716,38 @@ class TestProbeCalibration:
         ])
         assert recall >= 0.999, recall
 
-    def test_requires_tree_and_single_device(self):
+    def test_requires_tree(self):
         from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
-        from hbird_tpu.parallel import make_mesh
 
         x, _ = mixture_bank(2000, 16, 4, seed=39)
         flat = NearestNeighborSearchApprox(x, n_neighbors=5)
         with pytest.raises(AssertionError):
             flat.calibrate_n_probe(0.9)
+
+    def test_meshed_calibration_through_sharded_path(self):
+        """Meshed trees calibrate through the REAL sharded search
+        (shard_probe semantics): the full-probe oracle is exact per
+        shard, so a recall_target of 1.0 must land on a probe count
+        whose sharded recall measures 1.0 — and the chosen count is
+        installed on the backend."""
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+        from hbird_tpu.parallel import make_mesh
+
+        x, _ = mixture_bank(2000, 16, 4, seed=39)
         meshed = NearestNeighborSearchApprox(
             x, n_neighbors=5, use_tree=True, num_leaves=8,
-            num_leaves_to_search=4, query_block=64,
+            num_leaves_to_search=2, query_block=64,
             mesh=make_mesh((4,), ("bank",)),
             label_memory=jnp.asarray(
                 np.random.default_rng(0).random((2000, 3)).astype(np.float32)
             ),
         )
-        with pytest.raises(AssertionError):
-            meshed.calibrate_n_probe(0.9)
+        chosen = meshed.calibrate_n_probe(1.0, n_queries=512)
+        assert 1 <= chosen <= 8
+        assert meshed.num_leaves_to_search == chosen
+        # Lower targets can only pick fewer-or-equal probes.
+        lower = meshed.calibrate_n_probe(0.5, n_queries=512)
+        assert lower <= chosen
 
 
 class TestEngineIVFMeshed:

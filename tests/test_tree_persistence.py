@@ -300,12 +300,12 @@ class TestEngineTreedir:
             np.load(tree_p2 + ".flat.npy"), ev2.feature_memory, atol=0
         )
 
-    def test_meshed_load_with_recall_target_does_not_calibrate(
+    def test_meshed_load_with_recall_target_calibrates(
         self, fixture, tmp_path
     ):
-        """Review finding: recall_target on a meshed treedir load must
-        skip calibration (calibrate_n_probe is single-device only), not
-        crash on its assert."""
+        """recall_target on a meshed treedir load calibrates through the
+        sharded search path (it used to trip calibrate_n_probe's
+        single-device assert)."""
         x, labels, q = fixture
         nn = _build(x, labels)
         path = str(tmp_path / "idx.treedir")
@@ -323,7 +323,6 @@ class TestEngineTreedir:
         ev.nn_method = "ivf"
         assert ev.load_memory()
         assert ev.NN_algorithm.use_tree
-        # No calibration ran; the default probe count is intact and
-        # the loaded meshed index searches fine.
+        assert 1 <= ev.NN_algorithm.num_leaves_to_search <= 8
         v, i, _ = ev.NN_algorithm.search_with_labels(q, 10)
         assert np.isfinite(np.asarray(v, np.float32)).all()
