@@ -46,6 +46,14 @@ def main():
     ap.add_argument("--num-leaves", type=int, default=512)
     ap.add_argument("--n-probe", type=int, default=32)
     ap.add_argument("--tree-slack", type=float, default=1.15)
+    ap.add_argument("--save-index", type=str, default=None, metavar="DIR",
+                    help="After the tree build, serialize the BUILT index "
+                         "to this .treedir (timed).")
+    ap.add_argument("--load-index", type=str, default=None, metavar="DIR",
+                    help="Skip the bank+tree build entirely and restore "
+                         "the index from this .treedir (timed). On this "
+                         "dev host the reload is tunnel-bound (~15 MB/s "
+                         "uploads); on a real host it is NVMe+PCIe-bound.")
     args = ap.parse_args()
 
     from hbird_tpu import HbirdEvaluation
@@ -141,7 +149,23 @@ def main():
         u = jax.random.uniform(sub, (n_static, args.num_classes), jnp.float32)
         return u / jnp.sum(u, axis=1, keepdims=True)
 
-    if args.nn_method == "ivf":
+    if args.nn_method == "ivf" and args.load_index:
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        t_l = time.time()
+        nn = NearestNeighborSearchApprox.load_tree(
+            args.load_index, n_neighbors=args.k,
+            num_leaves_to_search=args.n_probe, tree_slack=args.tree_slack,
+        )
+        jax.block_until_ready(nn.bank)
+        ev.NN_algorithm = nn
+        ev.feature_memory = None
+        ev.label_memory = None
+        print(f"index RESTORED from {args.load_index} in "
+              f"{time.time()-t_l:.1f}s ({nn.bank.nbytes/1e9:.1f} GB layout, "
+              f"{nn._n_leaves} leaves x cap {nn._cap}; no k-means/layout/"
+              "scatter)", flush=True)
+    elif args.nn_method == "ivf":
         # STREAMED tree build (ops/ivf.build_tree_streamed): the 7.9 GB
         # flat bank and the 9.1 GB leaf layout cannot coexist on a 16 GB
         # chip (measured: OOM by 131 MB at the scatter), and the slabs
@@ -182,6 +206,11 @@ def main():
               f"{nn.bank.nbytes/1e9:.1f} GB ivf layout on chip; tree "
               f"{parts['n_leaves']} leaves x cap {parts['cap']}; flat "
               "bank never materialized)", flush=True)
+        if args.save_index:
+            t_s = time.time()
+            nn.save_tree(args.save_index)
+            print(f"index saved to {args.save_index} in "
+                  f"{time.time()-t_s:.1f}s", flush=True)
 
         # Measured recall AT THIS SCALE (not extrapolated from 1M/4M):
         # probing ALL leaves through the same tree path IS the exact
