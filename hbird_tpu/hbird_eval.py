@@ -235,6 +235,19 @@ class HbirdEvaluation:
                 logger.info(
                     "Memory restored from disk; skipping the train build."
                 )
+                if aot_eval:
+                    # Start the eval-step precompile now, against the
+                    # RESTORED bank's exact row count — a caller doing
+                    # any host work before evaluate() gets the compile
+                    # for free; evaluate() itself just joins the thread
+                    # (never slower than inline JIT).
+                    try:
+                        self._start_aot_eval(**{
+                            **aot_eval,
+                            "bank_rows": int(self.NN_algorithm.valid_rows),
+                        })
+                    except Exception as e:  # best-effort; evaluate JITs
+                        logger.info("AOT eval-step precompile skipped: %s", e)
                 return
             logger.warning(
                 "load_memory=True but no persisted memory found at "

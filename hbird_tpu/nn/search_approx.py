@@ -695,9 +695,15 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 sharded_ivf_knn_with_labels,
             )
 
+            # Calibration only needs neighbour INDICES; the sharded
+            # search also gathers/psums (Q, k, C) merged labels. Feed a
+            # 1-column view of the (row-sharded) labels so each scan
+            # moves k floats per query across the ICI instead of k*C.
+            labels_1 = jax.jit(lambda l: l[:, :1])(self.labels)
+
             def probe(n_probe):
                 _, idx, _ = sharded_ivf_knn_with_labels(
-                    q, self.bank, self.labels, self.centroids,
+                    q, self.bank, labels_1, self.centroids,
                     self.leaf_valid, k, mesh=self.mesh, cap=self._cap,
                     n_probe=n_probe, block_q=self.query_block,
                     shard_probe=self.shard_probe,

@@ -55,6 +55,8 @@ def main():
                          "dev host the reload is tunnel-bound (~15 MB/s "
                          "uploads); on a real host it is NVMe+PCIe-bound.")
     args = ap.parse_args()
+    if args.save_index:
+        assert args.nn_method == "ivf", "--save-index requires --nn-method ivf"
 
     from hbird_tpu import HbirdEvaluation
     from hbird_tpu.models import FeatureExtractor
@@ -149,18 +151,20 @@ def main():
         u = jax.random.uniform(sub, (n_static, args.num_classes), jnp.float32)
         return u / jnp.sum(u, axis=1, keepdims=True)
 
-    if args.nn_method == "ivf" and args.load_index:
-        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
-
-        t_l = time.time()
-        nn = NearestNeighborSearchApprox.load_tree(
-            args.load_index, n_neighbors=args.k,
-            num_leaves_to_search=args.n_probe, tree_slack=args.tree_slack,
+    if args.load_index:
+        # The PRODUCT restore path: engine load_memory() -> load_tree with
+        # the nn_params search keys passed through — the bench times what
+        # users actually run, not a hand-rolled copy of it.
+        assert args.nn_method == "ivf", "--load-index requires --nn-method ivf"
+        assert not args.save_index, (
+            "--save-index with --load-index would just re-serialize the "
+            "index it restored; save on the build run instead"
         )
+        t_l = time.time()
+        ev.f_mem_p = args.load_index
+        assert ev.load_memory(), f"no index at {args.load_index}"
+        nn = ev.NN_algorithm
         jax.block_until_ready(nn.bank)
-        ev.NN_algorithm = nn
-        ev.feature_memory = None
-        ev.label_memory = None
         print(f"index RESTORED from {args.load_index} in "
               f"{time.time()-t_l:.1f}s ({nn.bank.nbytes/1e9:.1f} GB layout, "
               f"{nn._n_leaves} leaves x cap {nn._cap}; no k-means/layout/"
