@@ -138,7 +138,13 @@ class TestEndToEnd:
         )
         assert float(miou) >= 0.5 * ceiling, (miou, ceiling)
 
-    def test_knn_details(self, voc_color):
+    @pytest.mark.parametrize("nn_method,nn_params", [
+        ("exact", None),
+        ("scann", None),
+        ("ivf", {"num_leaves": 4, "num_leaves_to_search": 4,
+                 "query_block": 16}),
+    ])
+    def test_knn_details(self, voc_color, nn_method, nn_params):
         miou, details = hbird_evaluation(
             model=None,
             d_model=3,
@@ -148,7 +154,8 @@ class TestEndToEnd:
             batch_size=4,
             input_size=INPUT,
             n_neighbours=5,
-            nn_method="exact",
+            nn_method=nn_method,
+            nn_params=nn_params,
             ftr_extr_fn=oracle_fn,
             num_workers=0,
             return_knn_details=True,
