@@ -47,6 +47,12 @@ def save_memory(memory: np.ndarray, path: str) -> str:
     if path.endswith(".bankdir"):
         return save_memory_sharded(memory, path)
     memory = np.asarray(memory)
+    if memory.dtype.name == "bfloat16":
+        # np.save writes extension dtypes as raw void bytes and flat
+        # files carry no dtype manifest to view them back (the .bankdir
+        # format does); widen to f32 — the reference's flat banks are
+        # f32 anyway.
+        memory = memory.astype(np.float32)
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
@@ -139,12 +145,24 @@ def save_memory_sharded(memory, dir_path: str, *, chunk_rows: int = 262144) -> s
 
 
 def iter_memory_chunks(dir_path: str):
-    """Yield (start_row, block) pairs, chunk by chunk (mmap-backed)."""
+    """Yield (start_row, block) pairs, chunk by chunk (mmap-backed).
+
+    Extension dtypes (ml_dtypes bfloat16) survive np.save only as raw
+    void bytes ('|V2'); the manifest records the true dtype, so chunks
+    are bit-viewed back here — every reader goes through this."""
     with open(os.path.join(dir_path, SHARDED_MANIFEST)) as f:
         manifest = json.load(f)
+    try:
+        true_dtype = np.dtype(manifest["dtype"])
+    except TypeError:
+        import ml_dtypes  # registers bfloat16 et al. with numpy  # noqa: F401
+
+        true_dtype = np.dtype(manifest["dtype"])
     start = 0
     for c in manifest["chunks"]:
         blk = np.load(os.path.join(dir_path, c["file"]), mmap_mode="r")
+        if blk.dtype != true_dtype and blk.dtype.itemsize == true_dtype.itemsize:
+            blk = blk.view(true_dtype)
         yield start, blk
         start += c["rows"]
 

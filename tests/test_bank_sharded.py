@@ -42,6 +42,42 @@ class TestRoundTrip:
             pos = start + chunk.shape[0]
         assert pos == rows
 
+    def test_bfloat16_bank_roundtrip(self, tmp_path):
+        """np.save writes ml_dtypes.bfloat16 chunks as raw void bytes;
+        the manifest's dtype must view them back bit-exactly on every
+        read path (host load, mesh load), and a flat .npy save widens to
+        f32 (no manifest to view back through)."""
+        import jax.numpy as jnp
+        import ml_dtypes
+
+        from hbird_tpu.bank.io import (
+            load_memory, load_memory_sharded, save_memory,
+        )
+        from hbird_tpu.parallel import make_mesh
+
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1000, 16)), jnp.bfloat16
+        )
+        bits = np.asarray(x).view(np.uint16)
+        d = str(tmp_path / "b.bankdir")
+        save_memory_sharded(x, d, chunk_rows=300)
+        y = load_memory_sharded(d)
+        assert y.dtype == ml_dtypes.bfloat16
+        np.testing.assert_array_equal(y.view(np.uint16), bits)
+
+        mesh = make_mesh((4,), ("bank",))
+        arr, rows = load_memory_sharded(d, mesh=mesh)
+        assert arr.dtype == jnp.bfloat16 and rows == 1000
+        np.testing.assert_array_equal(
+            np.asarray(arr[:1000]).view(np.uint16), bits
+        )
+
+        p = str(tmp_path / "m.npy")
+        save_memory(np.asarray(x), p)
+        np.testing.assert_allclose(
+            load_memory(p), np.asarray(x, np.float32), atol=0
+        )
+
     def test_sliceable_source_and_chunking(self, tmp_path):
         rng = np.random.default_rng(1)
         mem = rng.normal(size=(5000, 8)).astype(np.float32)
