@@ -636,6 +636,32 @@ class TestStreamedBuild:
         assert (idx >= 0).all() and (idx < 2500).all()
         np.testing.assert_allclose(np.asarray(labs), labels[idx], atol=1e-6)
 
+    def test_from_bankdir_bfloat16(self, tmp_path):
+        """A bf16 .bankdir streams into the tree build (np.save stores
+        bf16 as raw void bytes; iter_memory_chunks bit-views them back —
+        this crashed with 'No cast function available' before)."""
+        from hbird_tpu.bank.io import save_memory_sharded
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        x, _ = mixture_bank(2000, 32, 4, seed=31)
+        f_dir = str(tmp_path / "feats16.bankdir")
+        save_memory_sharded(jnp.asarray(x, jnp.bfloat16), f_dir,
+                            chunk_rows=700)
+        nn = NearestNeighborSearchApprox.from_bankdir(
+            f_dir, None, n_neighbors=10, window_rows=600,
+            num_leaves=8, num_leaves_to_search=8, query_block=64,
+            use_int8=False,
+        )
+        assert nn.bank.dtype == jnp.bfloat16 and nn.valid_rows == 2000
+        rng = np.random.default_rng(32)
+        q = jnp.asarray(x[rng.integers(0, 2000, 100)])
+        _, idx, _ = nn.search_with_labels(q, 10)
+        idx = np.asarray(idx)
+        # Full probe == exact search modulo bf16 rounding: top-1 must be
+        # the query row itself.
+        exact_top1 = np.argmax(np.asarray(q) @ x.T, axis=1)
+        assert (idx[:, 0] == exact_top1).mean() > 0.95
+
 
 class TestEngineBankdirStreamedLoad:
     def test_load_memory_bankdir_ivf_streams(self, tmp_path):
