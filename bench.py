@@ -321,8 +321,53 @@ def diagnostics(q_bf16, bank_bf16, measured, rng):
         log(f"[e2e] skipped: {e}")
 
 
+def wait_for_device(budget_s: float) -> bool:
+    """Probe the TPU in a SUBPROCESS until it answers or the budget
+    expires. The axon tunnel has measured multi-hour outages
+    (RuntimeError UNAVAILABLE at backend init, or init hanging); a
+    failed backend init is cached for the probing process's lifetime,
+    so each attempt must be a fresh process. SIGTERM+grace on hangs — a
+    process that never finished device init holds no in-flight compile
+    to wedge the tunnel with."""
+    import subprocess
+
+    deadline = time.time() + budget_s
+    attempt = 0
+    probe_src = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "x = jnp.ones((8, 8)) @ jnp.ones((8, 8));"
+        "assert float(np.asarray(x).sum()) == 512.0"
+    )
+    while True:
+        attempt += 1
+        proc = subprocess.Popen([sys.executable, "-c", probe_src])
+        try:
+            rc = proc.wait(timeout=240)
+        except subprocess.TimeoutExpired:
+            proc.terminate()
+            try:
+                rc = proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                rc = -9
+        if rc == 0:
+            log(f"[setup] device probe ok (attempt {attempt})")
+            return True
+        if time.time() >= deadline:
+            log(
+                f"[setup] device still unavailable after {attempt} probes "
+                f"/ {budget_s:.0f}s; proceeding (the run will fail fast)"
+            )
+            return False
+        log(f"[setup] device unavailable (probe rc={rc}); retrying in 60s")
+        time.sleep(60)
+
+
 def main() -> None:
     t_start = time.time()
+
+    if not os.environ.get("HBIRD_BENCH_SMOKE"):
+        wait_for_device(float(os.environ.get("HBIRD_BENCH_INIT_WAIT", 1200.0)))
 
     import jax
 
