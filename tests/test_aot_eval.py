@@ -113,3 +113,38 @@ def test_aot_ivf_tree_backend(voc_root):
     m_jit, _ = _run(voc_root, None, nn_method="ivf", nn_params=dict(params))
     assert getattr(ev, "_aot_used", False), "AOT executable was not used"
     assert np.isclose(m_aot, m_jit, atol=1e-7), (m_aot, m_jit)
+
+
+def test_aot_after_treedir_restore(voc_root, tmp_path):
+    # load_memory=True restores the index and must START the AOT
+    # precompile against the restored bank's exact row count — the
+    # restored-path evaluate hits the executable, not the JIT fallback.
+    spec = dict(batch_size=4, input_size=INPUT, ignore_index=255)
+    params = dict(num_leaves=4, num_leaves_to_search=4, query_block=64)
+    path = str(tmp_path / "idx.treedir")
+
+    random.seed(777)
+    tt = get_hbird_train_transforms(INPUT, device_normalize=True)
+    vt = get_hbird_val_transforms(INPUT, device_normalize=True)
+    ds, ign = get_dataset("voc", voc_root, 4, 0, tt, vt, None, None)
+    fe = FeatureExtractorSimple(
+        None, ftr_extr_fn=oracle_fn, eval_spatial_resolution=S, d_model=3
+    )
+
+    def build(load):
+        return HbirdEvaluation(
+            fe, ds.train_dataloader(), num_classes=ds.get_num_classes(),
+            n_neighbours=5, nn_method="ivf", nn_params=dict(params),
+            dataset_size=ds.get_train_dataset_size(),
+            device_norm=tt.get("device_norm"),
+            f_mem_p=path, load_memory=load, aot_eval=dict(spec),
+        )
+
+    ev1 = build(load=False)
+    m1 = float(ev1.evaluate(ds.val_dataloader(), S, ignore_index=ign))
+
+    ev2 = build(load=True)
+    assert ev2._aot is not None, "restore did not start the AOT precompile"
+    m2 = float(ev2.evaluate(ds.val_dataloader(), S, ignore_index=ign))
+    assert getattr(ev2, "_aot_used", False), "AOT executable was not used"
+    assert np.isclose(m1, m2, atol=1e-7), (m1, m2)
