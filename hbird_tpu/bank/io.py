@@ -152,12 +152,7 @@ def iter_memory_chunks(dir_path: str):
     are bit-viewed back here — every reader goes through this."""
     with open(os.path.join(dir_path, SHARDED_MANIFEST)) as f:
         manifest = json.load(f)
-    try:
-        true_dtype = np.dtype(manifest["dtype"])
-    except TypeError:
-        import ml_dtypes  # registers bfloat16 et al. with numpy  # noqa: F401
-
-        true_dtype = np.dtype(manifest["dtype"])
+    true_dtype = _manifest_dtype(manifest)
     start = 0
     for c in manifest["chunks"]:
         blk = np.load(os.path.join(dir_path, c["file"]), mmap_mode="r")
@@ -172,9 +167,18 @@ def sharded_memory_info(dir_path: str) -> dict:
         return json.load(f)
 
 
+def _manifest_dtype(manifest: dict) -> np.dtype:
+    try:
+        return np.dtype(manifest["dtype"])
+    except TypeError:
+        import ml_dtypes  # registers bfloat16 et al. with numpy  # noqa: F401
+
+        return np.dtype(manifest["dtype"])
+
+
 def _read_rows(dir_path: str, manifest: dict, start: int, stop: int) -> np.ndarray:
     """Assemble rows [start, stop) touching only the overlapping chunks."""
-    out = np.empty((stop - start, manifest["dim"]), manifest["dtype"])
+    out = np.empty((stop - start, manifest["dim"]), _manifest_dtype(manifest))
     pos = 0
     for c_start, blk in iter_memory_chunks(dir_path):
         c_stop = c_start + blk.shape[0]
@@ -222,7 +226,7 @@ def load_memory_sharded(
     for dev, idx in dev_map.items():
         s = idx[0].start or 0
         e = idx[0].stop if idx[0].stop is not None else padded
-        blk = np.zeros((e - s, dim), manifest["dtype"])
+        blk = np.zeros((e - s, dim), _manifest_dtype(manifest))
         lo, hi = min(s, rows), min(e, rows)
         if hi > lo:
             blk[: hi - lo] = _read_rows(dir_path, manifest, lo, hi)
