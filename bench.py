@@ -331,12 +331,18 @@ def wait_for_device(budget_s: float) -> bool:
     to wedge the tunnel with."""
     import subprocess
 
+    if budget_s <= 0:
+        return True  # explicit opt-out: no probe, no extra init
     deadline = time.time() + budget_s
     attempt = 0
+    # Init + a raw transfer ONLY — no jit, no matmul: the probe must
+    # never be killed mid-remote-COMPILE (that wedges the tunnel for the
+    # next process, CLAUDE.md); killing a process stuck in backend init
+    # or a plain device_put holds no compiler state.
     probe_src = (
-        "import jax, numpy as np, jax.numpy as jnp;"
-        "x = jnp.ones((8, 8)) @ jnp.ones((8, 8));"
-        "assert float(np.asarray(x).sum()) == 512.0"
+        "import jax, numpy as np;"
+        "x = jax.device_put(np.arange(8.0));"
+        "assert float(np.asarray(x).sum()) == 28.0"
     )
     while True:
         attempt += 1
@@ -349,6 +355,7 @@ def wait_for_device(budget_s: float) -> bool:
                 rc = proc.wait(timeout=30)
             except subprocess.TimeoutExpired:
                 proc.kill()
+                proc.wait()  # reap — no zombie per killed attempt
                 rc = -9
         if rc == 0:
             log(f"[setup] device probe ok (attempt {attempt})")

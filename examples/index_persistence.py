@@ -31,6 +31,9 @@ def main():
     # pins the demo to CPU (the config update must come AFTER import).
     if os.environ.get("HBIRD_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["HBIRD_PLATFORM"])
+    # Persistent compile cache: without it, remote-TPU compile noise
+    # (minutes) would swamp the build-vs-restore timing this demo shows.
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 
     from hbird_tpu import hbird_evaluation
     from hbird_tpu.data.synthetic import make_voc_fixture

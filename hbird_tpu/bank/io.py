@@ -70,7 +70,11 @@ def save_memory(memory: np.ndarray, path: str) -> str:
 
 def load_memory(path: str) -> np.ndarray:
     if is_sharded_path(path):
-        return load_memory_sharded(path)
+        # Same cross-format contract as every other branch: f32 host
+        # arrays (a bf16 .bankdir would otherwise surface ml_dtypes
+        # arrays torch/older numpy consumers cannot handle). Callers
+        # wanting the native dtype use load_memory_sharded directly.
+        return np.asarray(load_memory_sharded(path), np.float32)
     if path.endswith(".npz"):
         with np.load(path) as z:
             return np.asarray(z["memory"], np.float32)

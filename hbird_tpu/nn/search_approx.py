@@ -462,11 +462,13 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         `use_int8` cannot apply to a float .bankdir (quantization would
         need an extra full scale pass) — store an int8 .bankdir with its
         scale instead."""
-        from hbird_tpu.bank.io import iter_bankdir_windows, sharded_memory_info
+        from hbird_tpu.bank.io import (
+            _manifest_dtype, iter_bankdir_windows, sharded_memory_info,
+        )
         from hbird_tpu.ops.ivf import build_tree_streamed
 
         info = sharded_memory_info(feature_dir)
-        is_int8 = np.dtype(info["dtype"]) == np.int8
+        is_int8 = _manifest_dtype(info) == np.int8
         if kwargs.pop("use_int8", False) and not is_int8:
             from hbird_tpu.utils.logging import get_logger
 

@@ -50,11 +50,6 @@ class TestRoundTrip:
         import jax.numpy as jnp
         import ml_dtypes
 
-        from hbird_tpu.bank.io import (
-            load_memory, load_memory_sharded, save_memory,
-        )
-        from hbird_tpu.parallel import make_mesh
-
         x = jnp.asarray(
             np.random.default_rng(0).normal(size=(1000, 16)), jnp.bfloat16
         )
