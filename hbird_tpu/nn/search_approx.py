@@ -72,6 +72,10 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
     ):
         if distance_measure not in ("dot_product", "euclidean", "l2"):
             raise ValueError(f"Unsupported distance measure: {distance_measure}")
+        # ScaNN's literal tree() param name (reference search_scann.py:27
+        # passes training_sample_size=bank_rows): alias of tree_sample_rows.
+        if "training_sample_size" in kwargs:
+            tree_sample_rows = int(kwargs.pop("training_sample_size"))
         recall_target_explicit = recall_target is not None
         if recall_target is None:
             frac = num_leaves_to_search / max(1, num_leaves)
