@@ -200,33 +200,41 @@ class TestDeviceLayout:
     MEMBERSHIP must match the host greedy on tie-free scores (within-leaf
     slot order is shard-major by design and never affects leaf scans)."""
 
-    def setup_method(self, _):
-        self.m, self.d = 3000, 32
-        self.x = _clustered(self.m, self.d, 10, seed=7)
-        rng = np.random.default_rng(8)
-        self.labels = rng.random((self.m, 5)).astype(np.float32)
-        self.n_leaves, self.cap = tree_layout(self.m, 8)
-        self.n_leaves = ((self.n_leaves + 3) // 4) * 4
+    # One shared build pair: every build_ivf_sharded call constructs
+    # fresh shard_map closures (a full retrace+compile, ~90s each on the
+    # 1-core CPU mesh), so the host/device builds are computed ONCE for
+    # the whole class instead of per test.
+    @pytest.fixture(scope="class")
+    def ctx(self):
         from hbird_tpu.ops.ivf import train_centroids
 
-        self.cent = train_centroids(
-            jnp.asarray(self.x), self.n_leaves, iters=6,
+        class C:
+            pass
+
+        c = C()
+        c.m, c.d = 3000, 32
+        c.x = _clustered(c.m, c.d, 10, seed=7)
+        rng = np.random.default_rng(8)
+        c.labels = rng.random((c.m, 5)).astype(np.float32)
+        c.n_leaves, c.cap = tree_layout(c.m, 8)
+        c.n_leaves = ((c.n_leaves + 3) // 4) * 4
+        c.cent = train_centroids(
+            jnp.asarray(c.x), c.n_leaves, iters=6,
             key=jax.random.PRNGKey(0),
         )
-        self.mesh = make_mesh((4,), ("bank",))
-
-    def _builds(self, x, labels):
-        host = build_ivf_sharded(
-            x, labels, self.cent, self.n_leaves, self.cap, self.mesh
+        c.mesh = make_mesh((4,), ("bank",))
+        c.host = build_ivf_sharded(
+            c.x, c.labels, c.cent, c.n_leaves, c.cap, c.mesh
         )
-        dev = build_ivf_sharded(
-            x, labels, self.cent, self.n_leaves, self.cap, self.mesh,
+        c.dev = build_ivf_sharded(
+            c.x, c.labels, c.cent, c.n_leaves, c.cap, c.mesh,
             layout="device",
         )
-        return host, dev
+        return c
 
-    def test_membership_matches_host_greedy(self):
-        host, dev = self._builds(self.x, self.labels)
+    def test_membership_matches_host_greedy(self, ctx):
+        self = ctx
+        host, dev = ctx.host, ctx.dev
         np.testing.assert_array_equal(dev["leaf_fill"], host["leaf_fill"])
         perm_d = np.asarray(dev["perm"])
         cap, ll = self.cap, self.n_leaves
@@ -250,8 +258,9 @@ class TestDeviceLayout:
             leaf_dev[on_choice], leaf_host[on_choice]
         )
 
-    def test_slots_perm_and_slabs_consistent(self):
-        host, dev = self._builds(self.x, self.labels)
+    def test_slots_perm_and_slabs_consistent(self, ctx):
+        self = ctx
+        host, dev = ctx.host, ctx.dev
         slots_d = np.asarray(dev["slots"])
         perm_d = np.asarray(dev["perm"])
         r = slots_d.shape[0]
@@ -272,7 +281,8 @@ class TestDeviceLayout:
             labels_d[real], self.labels, rtol=1e-6, atol=1e-7
         )
 
-    def test_uneven_rows_no_ghosts(self):
+    def test_uneven_rows_no_ghosts(self, ctx):
+        self = ctx
         x = self.x[:2998]
         labels = self.labels[:2998]
         dev = build_ivf_sharded(
@@ -284,9 +294,10 @@ class TestDeviceLayout:
         assert (perm_d >= 0).sum() == 2998
         assert perm_d.max() == 2997
 
-    def test_backend_device_layout_search_matches_host(self):
+    def test_backend_device_layout_search_matches_host(self, ctx):
         from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
 
+        self = ctx
         rng = np.random.default_rng(12)
         q = jnp.asarray(
             self.x[rng.integers(0, self.m, 200)]
