@@ -41,6 +41,65 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# --- Guaranteed-emission contract (round 4) -------------------------------
+# BENCH_r02 and BENCH_r03 both recorded parsed=null: r02 because the Mosaic
+# compile lottery ate the whole budget before the JSON line, r03 because the
+# device was unreachable and the run hung in in-process backend init until
+# the driver's timeout (rc=124). The record must land NO MATTER WHAT:
+#   * emit() prints the one JSON line exactly once (thread-safe);
+#   * a watchdog armed at process start emits an error record and hard-exits
+#     if nothing has printed by HBIRD_BENCH_WATCHDOG seconds (default 1500 —
+#     safely inside the driver's observed ~30 min window);
+#   * a failed device wait emits immediately and exits instead of walking
+#     into a hangable jax.devices() (the r03 failure).
+METRIC_NAME = "exact_knn_queries_per_sec_per_chip_1.024M_bank_k30"
+TARGET_QPS = 4130.0  # north-star-equivalent q/s/chip at 1.024M rows
+
+_EMIT_LOCK = threading.Lock()
+_JSON_EMITTED = threading.Event()
+
+
+def emit(value: float, error: str | None = None) -> None:
+    """Print the single benchmark JSON line (at most once per process)."""
+    with _EMIT_LOCK:
+        if _JSON_EMITTED.is_set():
+            return
+        rec = {
+            "metric": METRIC_NAME,
+            "value": round(float(value), 1),
+            "unit": "queries/s/chip",
+            "vs_baseline": round(float(value) / TARGET_QPS, 3),
+        }
+        if error:
+            rec["error"] = error
+        print(json.dumps(rec), flush=True)
+        sys.stdout.flush()
+        _JSON_EMITTED.set()
+
+
+def arm_watchdog(deadline_ts: float) -> None:
+    """Hard guarantee: if the JSON line has not printed by deadline_ts,
+    print an error record and _exit. os._exit over sys.exit because the
+    main thread may be wedged inside a remote backend init / compile that
+    ignores interrupts; leaking an in-flight compile at exit is the known
+    cost (tunnel wedge for the next process) and is preferred to an empty
+    scoreboard (judge directive, VERDICT r3 item 1)."""
+
+    def fire() -> None:
+        while not _JSON_EMITTED.is_set():
+            dt = deadline_ts - time.time()
+            if dt <= 0:
+                break
+            time.sleep(min(dt, 5.0))
+        if not _JSON_EMITTED.is_set():
+            emit(0.0, error="watchdog: no measurement before deadline")
+            log("[watchdog] deadline hit with no JSON — emitted error "
+                "record and exiting")
+            os._exit(0)
+
+    threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
+
+
 D, K = 768, 30
 M_ROWS = 1_024_000
 BATCH, N_PATCHES = 64, (518 // 14) ** 2  # ViT-B/14 @ 518
@@ -363,7 +422,7 @@ def wait_for_device(budget_s: float) -> bool:
         if time.time() >= deadline:
             log(
                 f"[setup] device still unavailable after {attempt} probes "
-                f"/ {budget_s:.0f}s; proceeding (the run will fail fast)"
+                f"/ {budget_s:.0f}s; giving up (caller emits error JSON)"
             )
             return False
         log(f"[setup] device unavailable (probe rc={rc}); retrying in 60s")
@@ -372,9 +431,24 @@ def wait_for_device(budget_s: float) -> bool:
 
 def main() -> None:
     t_start = time.time()
+    watchdog_s = float(os.environ.get("HBIRD_BENCH_WATCHDOG", 1500.0))
+    watchdog_deadline = t_start + watchdog_s
+    arm_watchdog(watchdog_deadline)
 
     if not os.environ.get("HBIRD_BENCH_SMOKE"):
-        wait_for_device(float(os.environ.get("HBIRD_BENCH_INIT_WAIT", 1200.0)))
+        # The wait budget must leave room to emit + exit before the
+        # watchdog; never walk into in-process jax init on a dead device
+        # (BENCH_r03: that hang produced rc=124 / parsed=null).
+        wait_budget = min(
+            float(os.environ.get("HBIRD_BENCH_INIT_WAIT", 1200.0)),
+            watchdog_deadline - time.time() - 120.0,
+        )
+        if not wait_for_device(wait_budget):
+            emit(0.0, error="device unreachable: all probes failed "
+                            f"within {wait_budget:.0f}s")
+            log("[setup] device never answered — error record emitted, "
+                "exiting without touching in-process jax")
+            return
 
     import jax
 
@@ -406,21 +480,14 @@ def main() -> None:
     rng = np.random.default_rng(0)  # diagnostics' host-side draws
     log(f"[setup] data generated on-device in {time.time()-t_start:.0f}s")
 
-    deadline = time.time() + HEADLINE_DEADLINE_S
+    # The headline must land before the watchdog fires; leave it 60s of
+    # emission headroom.
+    deadline = min(
+        time.time() + HEADLINE_DEADLINE_S, watchdog_deadline - 60.0
+    )
     qps, measured, still_pending = measure_headline(q_bf16, bank_bf16, deadline)
 
-    target = 4130.0  # north-star-equivalent q/s/chip at 1.024M rows
-    print(
-        json.dumps(
-            {
-                "metric": "exact_knn_queries_per_sec_per_chip_1.024M_bank_k30",
-                "value": round(qps, 1),
-                "unit": "queries/s/chip",
-                "vs_baseline": round(qps / target, 3),
-            }
-        ),
-        flush=True,
-    )
+    emit(qps, error=None if qps > 0 else "no ladder rung measured")
     log(f"[headline] {qps:,.0f} q/s/chip via "
         f"{max(measured, key=measured.get) if measured else 'NONE'} "
         f"(all: { {k: round(v) for k, v in measured.items()} }) "
