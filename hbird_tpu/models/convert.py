@@ -295,6 +295,148 @@ def convert_hf_vit(
     return jax_tree(params), config
 
 
+def convert_hf_dinov2(
+    sd: Mapping[str, Any] | str, config: Optional[ViTConfig] = None
+) -> tuple[Dict[str, Any], ViTConfig]:
+    """Convert a HuggingFace Dinov2Model / Dinov2WithRegistersModel state dict.
+
+    HF's Dinov2 (modeling_dinov2.py) mirrors the torch.hub DINOv2 blocks —
+    pre-norm attention + LayerScale (`layer_scale1.lambda1`), MLP or SwiGLU
+    (`mlp.fc1/fc2` or `mlp.weights_in/weights_out`), separate q/k/v Linears —
+    so conversion reshapes into the same stacked-block layout as
+    convert_timm_vit. Register tokens (`embeddings.register_tokens`) map to
+    our post-pos-add insertion, which matches HF's ordering
+    (modeling_dinov2_with_registers.py:164-166).
+    """
+    if isinstance(sd, str):
+        sd = load_torch_state_dict(sd)
+    sd = {
+        re.sub(r"^(dinov2\.|dinov2_with_registers\.)", "", k): _to_numpy(v)
+        for k, v in sd.items()
+    }
+
+    pw = sd["embeddings.patch_embeddings.projection.weight"].astype(np.float32)
+    d, _, p, _ = pw.shape
+    depth = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"encoder\.layer\.(\d+)\.", k)) is not None
+    )
+    n_pos = sd["embeddings.position_embeddings"].shape[1]
+    grid = int(round((n_pos - 1) ** 0.5))
+    swiglu = "encoder.layer.0.mlp.weights_in.weight" in sd
+    n_reg = (
+        sd["embeddings.register_tokens"].shape[1]
+        if "embeddings.register_tokens" in sd
+        else 0
+    )
+    if config is None:
+        if swiglu:
+            hidden = sd["encoder.layer.0.mlp.weights_out.weight"].shape[1]
+            mlp_ratio = hidden * 3 / 2 / d
+        else:
+            hidden = sd["encoder.layer.0.mlp.fc1.weight"].shape[0]
+            mlp_ratio = hidden / d
+        config = ViTConfig(
+            patch_size=p,
+            width=d,
+            depth=depth,
+            num_heads=max(1, d // 64),
+            mlp_ratio=float(mlp_ratio),
+            img_size=grid * p,
+            layerscale=True,
+            swiglu=swiglu,
+            num_register_tokens=n_reg,
+            ln_eps=1e-6,
+            # HF Dinov2Model interpolates size-based without antialias; the
+            # -reg model uses antialias=True (modeling files, both verified).
+            pos_interp_antialias=bool(n_reg),
+        )
+
+    def g(i, name):
+        return sd[f"encoder.layer.{i}.{name}"].astype(np.float32)
+
+    def stack(name, transform=lambda x: x):
+        return np.stack([transform(g(i, name)) for i in range(depth)])
+
+    qkv_w = np.stack(
+        [
+            np.concatenate(
+                [
+                    g(i, "attention.attention.query.weight").T,
+                    g(i, "attention.attention.key.weight").T,
+                    g(i, "attention.attention.value.weight").T,
+                ],
+                axis=1,
+            )
+            for i in range(depth)
+        ]
+    )
+    if "encoder.layer.0.attention.attention.query.bias" in sd:
+        qkv_b = np.stack(
+            [
+                np.concatenate(
+                    [
+                        g(i, "attention.attention.query.bias"),
+                        g(i, "attention.attention.key.bias"),
+                        g(i, "attention.attention.value.bias"),
+                    ]
+                )
+                for i in range(depth)
+            ]
+        )
+    else:
+        qkv_b = np.zeros((depth, 3 * d), np.float32)
+
+    blocks: Dict[str, np.ndarray] = {
+        "norm1_scale": stack("norm1.weight"),
+        "norm1_bias": stack("norm1.bias"),
+        "qkv_w": qkv_w,
+        "qkv_b": qkv_b,
+        "proj_w": stack("attention.output.dense.weight", lambda x: x.T),
+        "proj_b": stack("attention.output.dense.bias"),
+        "norm2_scale": stack("norm2.weight"),
+        "norm2_bias": stack("norm2.bias"),
+        "ls1": stack("layer_scale1.lambda1"),
+        "ls2": stack("layer_scale2.lambda1"),
+    }
+    if swiglu:
+        blocks["w12"] = stack("mlp.weights_in.weight", lambda x: x.T)
+        blocks["b12"] = stack("mlp.weights_in.bias")
+        blocks["w3"] = stack("mlp.weights_out.weight", lambda x: x.T)
+        blocks["b3"] = stack("mlp.weights_out.bias")
+    else:
+        blocks["fc1_w"] = stack("mlp.fc1.weight", lambda x: x.T)
+        blocks["fc1_b"] = stack("mlp.fc1.bias")
+        blocks["fc2_w"] = stack("mlp.fc2.weight", lambda x: x.T)
+        blocks["fc2_b"] = stack("mlp.fc2.bias")
+
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": pw.reshape(d, -1).T,
+            "bias": sd["embeddings.patch_embeddings.projection.bias"].astype(
+                np.float32
+            ),
+        },
+        "cls_token": sd["embeddings.cls_token"].astype(np.float32),
+        "pos_embed": sd["embeddings.position_embeddings"].astype(np.float32),
+        "blocks": blocks,
+        "norm": {
+            "scale": sd["layernorm.weight"].astype(np.float32),
+            "bias": sd["layernorm.bias"].astype(np.float32),
+        },
+    }
+    if n_reg:
+        params["register_tokens"] = sd["embeddings.register_tokens"].astype(
+            np.float32
+        )
+    logger.info(
+        "Converted HF Dinov2: depth=%d width=%d patch=%d swiglu=%s reg=%d",
+        depth, d, p, swiglu, n_reg,
+    )
+    return jax_tree(params), config
+
+
 def jax_tree(params: Dict[str, Any]) -> Dict[str, Any]:
     """numpy pytree -> jnp pytree."""
     import jax.numpy as jnp
@@ -317,13 +459,22 @@ def convert(
     f = family.lower()
     if f == "auto":
         keys = set(sd.keys())
-        f = (
-            "hf"
-            if any("encoder.layer.0." in k for k in keys)
-            else "timm"
-        )
+        if any("encoder.layer.0." in k for k in keys):
+            # HF flavors: Dinov2 names block LNs norm1/norm2; ViTModel uses
+            # layernorm_before/after.
+            f = (
+                "hf_dinov2"
+                if any(
+                    k.endswith("encoder.layer.0.norm1.weight") for k in keys
+                )
+                else "hf"
+            )
+        else:
+            f = "timm"
     if f in ("timm", "dino", "dinov2", "mae", "mocov3", "moco"):
         return convert_timm_vit(sd, config)
     if f == "hf":
         return convert_hf_vit(sd, config)
+    if f in ("hf_dinov2", "hf-dinov2"):
+        return convert_hf_dinov2(sd, config)
     raise ValueError(f"Unknown model family: {family}")

