@@ -60,7 +60,15 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         self.mesh = mesh
         self.label_memory = label_memory
         if kernel == "auto":
-            kernel = "pallas" if distance_measure.lower() == "dot_product" else "xla"
+            # The fused kernel covers dot product AND expanded-norm l2
+            # (Faiss GpuIndexFlatIP/L2 both map to it); only exotic
+            # metrics fall back to the XLA blockwise path.
+            kernel = (
+                "pallas"
+                if distance_measure.lower()
+                in ("dot_product", "l2", "euclidean")
+                else "xla"
+            )
         if use_int8:
             # int8 is a property of the fused kernel's MXU path.
             assert distance_measure.lower() == "dot_product", (

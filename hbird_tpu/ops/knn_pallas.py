@@ -239,22 +239,29 @@ def _knn_kernel(
     valid_ref,  # SMEM (1,) int32 — number of real bank rows
     q_ref,  # (BLOCK_Q, D)
     bank_ref,  # (BLOCK_M, D)
-    vals_out_ref,  # (BLOCK_Q, K_PAD)
-    idx_out_ref,  # (BLOCK_Q, K_PAD)
-    vals_ref,  # scratch (BLOCK_Q, K_PAD) f32
-    idx_ref,  # scratch (BLOCK_Q, K_PAD) i32
-    s_ref,  # scratch (BLOCK_Q, BLOCK_M) f32 — mutable scores tile
-    cvals_ref,  # scratch (BLOCK_Q, NB) f32 — bucket-merge candidates
-    ccols_ref,  # scratch (BLOCK_Q, NB) i32
-    ins_ref,  # scratch (BLOCK_Q, NB) i32
-    *,
+    *refs,  # [bias_ref (1, BLOCK_M) if l2] + outputs + scratch
     k_pad: int,
     block_m: int,
     n_bank_tiles: int,
     merge_chunk: int,
     merge_mode: str,
     n_buckets: int,
+    l2: bool = False,
 ):
+    if l2:
+        bias_ref, *refs = refs  # (1, BLOCK_M) f32 — precomputed ||b||²/2
+    else:
+        bias_ref = None
+    (
+        vals_out_ref,  # (BLOCK_Q, K_PAD)
+        idx_out_ref,  # (BLOCK_Q, K_PAD)
+        vals_ref,  # scratch (BLOCK_Q, K_PAD) f32
+        idx_ref,  # scratch (BLOCK_Q, K_PAD) i32
+        s_ref,  # scratch (BLOCK_Q, BLOCK_M) f32 — mutable scores tile
+        cvals_ref,  # scratch (BLOCK_Q, NB) f32 — bucket-merge candidates
+        ccols_ref,  # scratch (BLOCK_Q, NB) i32
+        ins_ref,  # scratch (BLOCK_Q, NB) i32
+    ) = refs
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -280,6 +287,12 @@ def _knn_kernel(
         # preserved; convert once for the f32 merge (|s| <= 127*127*D
         # stays well inside f32's exact-integer range for D <= 1024).
         s = s.astype(jnp.float32)
+    if l2:
+        # Expanded-norm L2 (Faiss GpuIndexFlatL2 parity, reference
+        # search_faiss.py:38-44): argmin ||q-b||² == argmax q·b - ||b||²/2,
+        # with ||b||²/2 streamed in as a per-row bias. Same score
+        # convention as ops/knn.exact_knn's l2 path.
+        s = s - bias_ref[...]
 
     masked = jnp.where(col < valid_ref[0], s, NEG_INF)
     if merge_mode == "carry_lazy":
@@ -467,8 +480,9 @@ def pallas_knn(
     interpret: Optional[bool] = None,
     merge_mode: Optional[str] = None,
     n_buckets: int = 32,
+    distance: str = "dot_product",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k dot-product search, fused in one Pallas kernel.
+    """Exact top-k search, fused in one Pallas kernel.
 
     Args:
         queries: (Q, D) float32/bf16.
@@ -481,6 +495,10 @@ def pallas_knn(
         merge_mode: top-k merge variant; None (default) resolves to the
             process default ('carry', or 'carry_lazy' after a
             compile-budget fallback — see set_default_merge_mode).
+        distance: 'dot_product' (default) or 'l2'/'euclidean'
+            (expanded-norm: score = q·b − ||b||²/2, ordering-equal to
+            ascending squared L2 — Faiss GpuIndexFlatL2 parity). int8
+            banks are dot_product-only.
 
     Returns:
         (values, indices): (Q, k) f32 scores and int32 global row ids.
@@ -495,6 +513,7 @@ def pallas_knn(
         valid_rows=valid_rows, block_q=block_q, block_m=block_m,
         merge_chunk=merge_chunk, sorted_results=sorted_results,
         interpret=interpret, merge_mode=merge_mode, n_buckets=n_buckets,
+        distance=distance,
     )
 
 
@@ -502,7 +521,7 @@ def pallas_knn(
     jax.jit,
     static_argnames=(
         "k", "block_q", "block_m", "merge_chunk", "sorted_results",
-        "interpret", "merge_mode", "n_buckets",
+        "interpret", "merge_mode", "n_buckets", "distance",
     ),
 )
 def _pallas_knn_jit(
@@ -518,11 +537,16 @@ def _pallas_knn_jit(
     interpret: Optional[bool] = None,
     merge_mode: str = "carry",
     n_buckets: int = 32,
+    distance: str = "dot_product",
 ) -> Tuple[jax.Array, jax.Array]:
     q_n, d = queries.shape
     m, d2 = bank.shape
     assert d == d2
     assert k <= 128, "k > 128 not supported by the fused kernel"
+    assert distance in ("dot_product", "l2", "euclidean"), distance
+    l2 = distance in ("l2", "euclidean")
+    if l2:
+        assert bank.dtype != jnp.int8, "l2 requires a float bank"
     if interpret is None:
         # Mosaic only compiles on TPU; interpret transparently elsewhere
         # (CPU tests, multichip dry-runs on virtual devices).
@@ -546,12 +570,26 @@ def _pallas_knn_jit(
     n_q_tiles = q_pad // block_q
     n_bank_tiles = m_pad // block_m
 
+    extra_inputs = []
+    extra_specs = []
+    if l2:
+        # One cheap f32 pass over the bank per call; under jit XLA fuses
+        # it with the (padded) bank materialization. 4 B/row of extra HBM
+        # stream per query tile vs D*2 B/row of bank reads (<0.3%).
+        bank32 = bank.astype(jnp.float32)
+        bias = (0.5 * jnp.sum(bank32 * bank32, axis=-1)).reshape(1, m_pad)
+        extra_inputs.append(bias)
+        extra_specs.append(
+            pl.BlockSpec((1, block_m), lambda i, j, *_: (0, j))
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_q_tiles, n_bank_tiles),
         in_specs=[
             pl.BlockSpec((block_q, d), lambda i, j, *_: (i, 0)),
             pl.BlockSpec((block_m, d), lambda i, j, *_: (j, 0)),
+            *extra_specs,
         ],
         out_specs=[
             pl.BlockSpec((block_q, k_pad), lambda i, j, *_: (i, 0)),
@@ -595,6 +633,7 @@ def _pallas_knn_jit(
         merge_chunk=merge_chunk,
         merge_mode=merge_mode,
         n_buckets=n_buckets,
+        l2=l2,
     )
     itemsize = jnp.dtype(queries.dtype).itemsize
     vmem_bytes = (
@@ -619,7 +658,7 @@ def _pallas_knn_jit(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(valid_rows, queries, bank)
+    )(valid_rows, queries, bank, *extra_inputs)
 
     vals = vals[:q_n]
     idx = idx[:q_n]

@@ -106,21 +106,24 @@ def sharded_knn_with_labels(
     if kernel == "auto":
         # The fused Pallas kernel beats the XLA blockwise path ~7x on v5e
         # (the lax.top_k merge dominates the XLA version); use it whenever
-        # it applies.
+        # it applies (dot product and expanded-norm l2).
         kernel = (
             "pallas"
-            if (not approx and distance == "dot_product")
+            if (not approx and distance in ("dot_product", "l2", "euclidean"))
             else "xla"
         )
     if kernel == "pallas" and not approx:
-        if distance != "dot_product":
-            raise ValueError("pallas kernel currently supports dot_product only")
+        if distance not in ("dot_product", "l2", "euclidean"):
+            raise ValueError(
+                f"pallas kernel does not support distance={distance!r}"
+            )
         from hbird_tpu.ops.knn_pallas import pallas_knn
 
         def search(q, b, k_, valid_rows, **_):
             return pallas_knn(
                 q, b, k_, valid_rows=valid_rows,
                 block_q=query_block, block_m=bank_block,
+                distance=distance,
             )
 
         search_kwargs = {}
@@ -308,14 +311,19 @@ def ring_knn_with_labels(
             rerank_queries = jnp.pad(rerank_queries, ((0, pad), (0, 0)))
 
     if kernel == "pallas":
-        if distance != "dot_product":
-            raise ValueError("pallas kernel supports dot_product only")
+        if distance not in ("dot_product", "l2", "euclidean"):
+            raise ValueError(
+                f"pallas kernel does not support distance={distance!r}"
+            )
         from hbird_tpu.ops.knn_pallas import pallas_knn
 
         def search(q, b, k_, valid_rows):
+            # l2 bias (||b||²/2) is recomputed per ring hop from the
+            # resident shard — one cheap fused pass per hop.
             return pallas_knn(
                 q, b, k_, valid_rows=valid_rows,
                 block_q=query_block, block_m=bank_block,
+                distance=distance,
             )
     else:
         def search(q, b, k_, valid_rows):

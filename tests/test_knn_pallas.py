@@ -274,3 +274,115 @@ class TestCarryMerges:
         )
         rv, _ = exact_knn(jnp.asarray(q), jnp.asarray(bank[:300]), 30)
         np.testing.assert_allclose(np.asarray(vals), np.asarray(rv))
+
+
+class TestPallasL2:
+    """Expanded-norm L2 in the fused kernel (Faiss GpuIndexFlatL2 parity,
+    reference search_faiss.py:38-44)."""
+
+    def _brute_l2(self, q, bank, k):
+        # score convention: q·b − ||b||²/2 (ordering == ascending ||q−b||²)
+        scores = q @ bank.T - 0.5 * (bank * bank).sum(-1)[None, :]
+        idx = np.argsort(-scores, axis=-1, kind="stable")[:, :k]
+        return np.take_along_axis(scores, idx, axis=-1), idx
+
+    @pytest.mark.parametrize(
+        "q_n,m,d,k,block_q,block_m",
+        [
+            (16, 256, 32, 5, 8, 64),
+            (30, 500, 16, 7, 16, 128),  # ragged shapes + row padding
+        ],
+    )
+    def test_matches_brute_force(self, q_n, m, d, k, block_q, block_m):
+        rng = np.random.default_rng(1000 + q_n)
+        # Unnormalized rows: the l2 ordering genuinely differs from dot.
+        q = rng.normal(size=(q_n, d)).astype(np.float32) * 2
+        bank = (rng.normal(size=(m, d)) * rng.uniform(0.2, 3.0, (m, 1))).astype(
+            np.float32
+        )
+        vals, idx = pallas_knn(
+            jnp.asarray(q), jnp.asarray(bank), k,
+            block_q=block_q, block_m=block_m, distance="l2", interpret=True,
+        )
+        ref_vals, ref_idx = self._brute_l2(q, bank, k)
+        np.testing.assert_allclose(
+            np.asarray(vals), ref_vals, rtol=1e-4, atol=1e-4
+        )
+        same = np.asarray(idx) == ref_idx
+        tied = np.isclose(np.asarray(vals), ref_vals)
+        assert np.all(same | tied)
+        # And it must differ from dot-product ordering for this data.
+        _, idx_dot = pallas_knn(
+            jnp.asarray(q), jnp.asarray(bank), k,
+            block_q=block_q, block_m=block_m, interpret=True,
+        )
+        assert not np.array_equal(np.asarray(idx_dot), ref_idx)
+
+    def test_matches_xla_l2_path(self):
+        from hbird_tpu.ops.knn import exact_knn
+
+        rng = np.random.default_rng(77)
+        q = rng.normal(size=(24, 24)).astype(np.float32)
+        bank = (rng.normal(size=(300, 24)) * 1.7).astype(np.float32)
+        pv, pi = pallas_knn(
+            jnp.asarray(q), jnp.asarray(bank), 9,
+            block_q=8, block_m=128, distance="l2", interpret=True,
+        )
+        xv, xi = exact_knn(jnp.asarray(q), jnp.asarray(bank), 9, distance="l2")
+        np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+    def test_valid_rows_masked(self):
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        bank = rng.normal(size=(200, 16)).astype(np.float32)
+        # Make the tail rows unbeatable under l2 (tiny norm near queries'
+        # scale would win); they must still never appear.
+        bank[120:] = q[0] * 1.0
+        vals, idx = pallas_knn(
+            jnp.asarray(q), jnp.asarray(bank), 6,
+            valid_rows=120, block_q=8, block_m=64, distance="l2",
+            interpret=True,
+        )
+        assert np.asarray(idx).max() < 120
+        ref_vals, ref_idx = self._brute_l2(q, bank[:120], 6)
+        np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-4)
+
+    def test_backend_routes_l2_to_pallas(self):
+        from hbird_tpu.nn.search_exact import NearestNeighborSearchExact
+
+        rng = np.random.default_rng(6)
+        bank = (rng.normal(size=(400, 16)) * 1.5).astype(np.float32)
+        nn = NearestNeighborSearchExact(
+            jnp.asarray(bank), n_neighbors=5, distance_measure="l2"
+        )
+        assert nn.kernel == "pallas"
+        q = rng.normal(size=(12, 16)).astype(np.float32)
+        idx, vals = nn.find_nearest_neighbors(q)
+        ref_vals, ref_idx = self._brute_l2(q, bank, 5)
+        np.testing.assert_allclose(vals, ref_vals, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(idx, ref_idx)
+
+    def test_sharded_l2_matches_single_device(self):
+        from hbird_tpu.parallel.mesh import make_mesh
+        from hbird_tpu.parallel.sharded_knn import (
+            shard_bank,
+            sharded_knn_with_labels,
+        )
+
+        rng = np.random.default_rng(8)
+        bank = (rng.normal(size=(512, 16)) * 1.3).astype(np.float32)
+        labels = rng.uniform(size=(512, 4)).astype(np.float32)
+        q = rng.normal(size=(16, 16)).astype(np.float32)
+        mesh = make_mesh((4,), ("bank",))
+        bank_s, labels_s, valid = shard_bank(bank, labels, mesh)
+        vals, idx, labs = sharded_knn_with_labels(
+            jnp.asarray(q), bank_s, labels_s, 7,
+            mesh=mesh, valid_rows=valid, distance="l2", kernel="pallas",
+        )
+        ref_vals, ref_idx = self._brute_l2(q, bank, 7)
+        np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        np.testing.assert_allclose(
+            np.asarray(labs), labels[ref_idx], atol=1e-5
+        )
