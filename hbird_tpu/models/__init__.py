@@ -6,6 +6,15 @@ from hbird_tpu.models.extractor import (
     normalize_minmax,
 )
 
+
+def wrap_torch_backbone(*args, **kwargs):
+    """Lazy re-export (hbird_tpu.models.torch_adapter): keeps torch out of
+    import-time for the pure-JAX paths."""
+    from hbird_tpu.models.torch_adapter import wrap_torch_backbone as _w
+
+    return _w(*args, **kwargs)
+
+
 __all__ = [
     "ViTConfig",
     "ViT",
@@ -14,4 +23,5 @@ __all__ = [
     "FeatureExtractorSimple",
     "default_ftr_extr_fn",
     "normalize_minmax",
+    "wrap_torch_backbone",
 ]

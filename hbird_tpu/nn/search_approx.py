@@ -57,6 +57,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         use_int8: bool = False,
         bank_scale: Optional[float] = None,
         tree_slack: float = 1.3,
+        probe_mode: str = "auto",
         shard_probe: str = "split",
         tree_build_layout: str = "host",
         full_lloyd_iters: int = 0,
@@ -126,6 +127,14 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             jnp.float32(bank_scale) if bank_scale is not None else None
         )
         self.tree_slack = float(tree_slack)
+        # Tree probing granularity (ops/ivf.ivf_search): 'auto' keeps the
+        # fast tile shortlist for leaf-coherent query sets (the engine's)
+        # and switches to true per-query probing — ScaNN's per-query
+        # leaves_to_search semantics — when a concrete query set's tile
+        # coherence would dilute recall (measured 0.538 at 2048 iid
+        # queries under tile probing).
+        assert probe_mode in ("auto", "tile", "query"), probe_mode
+        self.probe_mode = str(probe_mode)
         # Meshed-tree probe semantics (parallel/sharded_ivf.py): 'split'
         # spreads the n_probe budget across shards (constant total scan,
         # recall can dip vs single-chip under leaf skew); 'full' probes
@@ -902,6 +911,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 cap=self._cap,
                 n_probe=min(self.num_leaves_to_search, self._n_leaves),
                 block_q=self.query_block,
+                probe_mode=self.probe_mode,
             )
             if self.use_int8:
                 # int32 scores -> approximate dot products (calibrated for

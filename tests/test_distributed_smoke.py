@@ -229,3 +229,137 @@ def test_two_process_tree_build(tmp_path):
     for pid, rc, out in outs:
         assert rc == 0, f"tree worker {pid} failed:\n{out[-3000:]}"
         assert f"TREE_WORKER_{pid}_OK" in out
+
+
+RING4_WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from hbird_tpu.parallel import distributed as D
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); coord = sys.argv[3]
+D.initialize(coordinator_address=coord, num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc
+n_dev = jax.device_count()
+
+import jax.numpy as jnp
+from hbird_tpu.parallel.mesh import make_mesh
+from hbird_tpu.parallel.sharded_knn import ring_knn_with_labels, shard_bank
+
+mesh = make_mesh((n_dev,), ("bank",))
+
+# Engine convention: every process holds the same global host data.
+rng = np.random.default_rng(21)
+m, d, nc, k = 512, 16, 3, 7
+bank = rng.normal(size=(m, d)).astype(np.float32)
+bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+labels = rng.random((m, nc)).astype(np.float32)
+q = rng.normal(size=(64, d)).astype(np.float32)
+
+# --- ring strategy across 4 REAL processes (VERDICT r3 item 7) ---
+bank_s, labels_s, valid = shard_bank(bank, labels, mesh)
+vals, idx, labs = ring_knn_with_labels(
+    jnp.asarray(q), bank_s, labels_s, k, mesh=mesh, valid_rows=valid,
+)
+vals, idx, labs = np.asarray(vals), np.asarray(idx), np.asarray(labs)
+exact = q @ bank.T
+exact_idx = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+exact_vals = np.take_along_axis(exact, exact_idx, axis=1)
+np.testing.assert_allclose(vals, exact_vals, atol=1e-4)
+same = idx == exact_idx
+tied = np.isclose(vals, exact_vals)
+assert (same | tied).all()
+np.testing.assert_allclose(
+    labs.reshape(-1, nc), labels[idx.reshape(-1)], atol=1e-5
+)
+print(f"RING4_{pid}_RING_OK", flush=True)
+
+# --- device-layout tree build + search + treedir round-trip ---
+from hbird_tpu.ops.ivf import train_centroids, tree_layout
+from hbird_tpu.parallel.sharded_ivf import (
+    build_ivf_sharded, sharded_ivf_knn_with_labels,
+)
+
+n_leaves, cap = tree_layout(m, n_dev)
+n_leaves = ((n_leaves + n_dev - 1) // n_dev) * n_dev
+cent = train_centroids(jnp.asarray(bank), n_leaves, iters=4,
+                       key=jax.random.PRNGKey(1))
+parts = build_ivf_sharded(
+    bank, labels, cent, n_leaves, cap, mesh, layout="device",
+)
+assert parts["valid_rows"] == m
+tvals, tidx, tlabs = sharded_ivf_knn_with_labels(
+    jnp.asarray(q), parts["ivf_bank"], parts["ivf_labels"],
+    parts["centroids"], jnp.asarray(parts["leaf_fill"], jnp.int32), k,
+    mesh=mesh, cap=cap, n_probe=n_leaves, block_q=64,
+)
+# Full probe (n_probe == n_leaves) must recover the exact neighbours.
+tvals = np.asarray(tvals)
+np.testing.assert_allclose(np.sort(tvals, 1), np.sort(exact_vals, 1),
+                           atol=1e-4)
+print(f"RING4_{pid}_TREE_OK", flush=True)
+
+# --- multi-process .treedir save/load at 4 processes ---
+treedir = sys.argv[4]
+from hbird_tpu.bank.io import load_tree_state, save_tree_state
+
+save_tree_state(
+    treedir, ivf_bank=parts["ivf_bank"], ivf_labels=parts["ivf_labels"],
+    centroids=parts["centroids"], leaf_valid=parts["leaf_fill"],
+    perm=parts["perm"], slots=parts["slots"], cap=cap, valid_rows=m,
+)
+st = load_tree_state(treedir, mesh=mesh)
+assert st["cap"] == cap and st["valid_rows"] == m
+for name in ("ivf_bank", "ivf_labels"):
+    old = {
+        (sh.index[0].start or 0): np.asarray(sh.data)
+        for sh in parts[name].addressable_shards if sh.replica_id == 0
+    }
+    for sh in st[name].addressable_shards:
+        if sh.replica_id != 0:
+            continue
+        start = sh.index[0].start or 0
+        np.testing.assert_array_equal(np.asarray(sh.data), old[start])
+print(f"RING4_{pid}_OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_four_process_ring_and_device_tree(tmp_path):
+    """4 coordinator-connected processes x 2 virtual devices = an 8-device
+    mesh spanning processes: ring-strategy exact search,
+    tree_build_layout='device' IVF build + meshed search, and 4-process
+    .treedir save/load (VERDICT r3 item 7)."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    nproc = 4
+    script = tmp_path / "ring4_worker.py"
+    script.write_text(RING4_WORKER)
+    treedir = str(tmp_path / "shared4.treedir")
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(nproc), coord,
+                 treedir],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((pid, p.returncode, out))
+    for pid, rc, out in outs:
+        assert rc == 0, f"ring4 worker {pid} failed:\n{out[-3000:]}"
+        assert f"RING4_{pid}_OK" in out

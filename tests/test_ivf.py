@@ -1127,3 +1127,138 @@ class TestBankdirRecallTarget:
         assert any("Calibrated num_leaves_to_search" in r.message
                    for r in caplog.records)
         assert 1 <= ev.NN_algorithm.num_leaves_to_search <= 8
+
+
+class TestPerQueryProbe:
+    """probe_mode='query'/'auto' (round-4): per-query leaf probing for
+    incoherent query sets — ScaNN's per-query leaves_to_search semantics
+    (reference search_scann.py:26-27). Tile probing measured recall 0.538
+    on 2048 iid queries at engine-equivalent budget (CLAUDE.md r3)."""
+
+    def setup_method(self, _):
+        # Many leaves, few queries: one 256-query tile spans ~48 primary
+        # leaves — exactly the dilution regime.
+        self.x, _ = mixture_bank(16384, 32, 48, seed=11, noise=0.05)
+        self.n_leaves, self.cap = tree_layout(len(self.x), 48)
+        (self.c, self.ivf_bank, _, self.perm,
+         self.leaf_valid) = _build(self.x, self.n_leaves, self.cap)
+        rng = np.random.default_rng(12)
+        q = self.x[rng.integers(0, len(self.x), 256)] + 0.02 * rng.normal(
+            size=(256, 32)
+        )
+        self.q = jnp.asarray(q.astype(np.float32))
+
+    def _recall(self, idx):
+        orig_idx = np.asarray(self.perm)[np.asarray(idx)]
+        assert (orig_idx >= 0).all()
+        k = orig_idx.shape[1]
+        exact = np.asarray(self.q) @ self.x.T
+        exact_idx = np.argsort(-exact, axis=1)[:, :k]
+        return np.mean([
+            len(set(orig_idx[i]) & set(exact_idx[i])) / k
+            for i in range(len(orig_idx))
+        ])
+
+    def _search(self, mode, n_probe=8):
+        return ivf_search(
+            self.q, self.ivf_bank, self.c, self.leaf_valid, 10,
+            cap=self.cap, n_probe=n_probe, block_q=256, kernel="xla",
+            probe_mode=mode,
+        )
+
+    def test_sparse_recall_meets_target(self):
+        _, idx_tile = self._search("tile")
+        _, idx_query = self._search("query")
+        r_tile, r_query = self._recall(idx_tile), self._recall(idx_query)
+        # Matched scan budget (n_probe=8 of 48 leaves both ways): the
+        # per-query path must fix the dilution (VERDICT r3 item 5).
+        assert r_query >= 0.95, (r_query, r_tile)
+        assert r_query > r_tile + 0.1, (r_query, r_tile)
+
+    def test_no_duplicate_indices(self):
+        # A row reachable via several probed leaves must fill one slot.
+        _, idx = self._search("query")
+        idx = np.asarray(idx)
+        for row in idx:
+            assert len(set(row.tolist())) == len(row)
+
+    def test_values_match_exact_scores(self):
+        vals, idx = self._search("query")
+        orig = np.asarray(self.perm)[np.asarray(idx)]
+        expect = np.take_along_axis(
+            np.asarray(self.q) @ self.x.T, orig, axis=1
+        )
+        np.testing.assert_allclose(np.asarray(vals), expect, atol=1e-4)
+
+    def test_auto_picks_query_for_sparse(self):
+        from hbird_tpu.ops.ivf import tile_coherence
+
+        assert tile_coherence(self.q, self.c, 256) > 8
+        _, idx_auto = self._search("auto")
+        _, idx_query = self._search("query")
+        np.testing.assert_array_equal(
+            np.asarray(idx_auto), np.asarray(idx_query)
+        )
+
+    def test_auto_keeps_tile_for_coherent(self):
+        # Engine-density queries: many queries per leaf => coherent tiles.
+        xq, _ = mixture_bank(2048, 32, 2, seed=13, noise=0.03)
+        q = jnp.asarray(xq)
+        from hbird_tpu.ops.ivf import tile_coherence
+
+        assert tile_coherence(q, self.c, 256) <= 8
+        v_auto, i_auto = ivf_search(
+            q, self.ivf_bank, self.c, self.leaf_valid, 10,
+            cap=self.cap, n_probe=16, block_q=256, kernel="xla",
+            probe_mode="auto",
+        )
+        v_tile, i_tile = ivf_search(
+            q, self.ivf_bank, self.c, self.leaf_valid, 10,
+            cap=self.cap, n_probe=16, block_q=256, kernel="xla",
+            probe_mode="tile",
+        )
+        np.testing.assert_array_equal(np.asarray(i_auto), np.asarray(i_tile))
+
+    def test_auto_under_jit_traces_as_tile(self):
+        import jax as _jax
+
+        def f(q):
+            return ivf_search(
+                q, self.ivf_bank, self.c, self.leaf_valid, 10,
+                cap=self.cap, n_probe=8, block_q=256, kernel="xla",
+                probe_mode="auto",
+            )
+
+        v, i = _jax.jit(f)(self.q)
+        v_t, i_t = self._search("tile")
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_t))
+
+    def test_query_mode_refuses_tracers(self):
+        import jax as _jax
+        import pytest as _pytest
+
+        def f(q):
+            return ivf_search(
+                q, self.ivf_bank, self.c, self.leaf_valid, 10,
+                cap=self.cap, n_probe=8, kernel="xla", probe_mode="query",
+            )
+
+        with _pytest.raises(ValueError, match="concrete"):
+            _jax.jit(f)(self.q)
+
+    def test_backend_auto_probe_sparse_queries(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        nn = NearestNeighborSearchApprox(
+            jnp.asarray(self.x), n_neighbors=10, use_tree=True,
+            num_leaves=self.n_leaves, num_leaves_to_search=8,
+            recall_target=None, tree_refine_rounds=0, use_fp16=False,
+        )
+        idx, _ = nn.find_nearest_neighbors(np.asarray(self.q))
+        exact = np.asarray(self.q) @ self.x.T
+        exact_idx = np.argsort(-exact, axis=1)[:, :10]
+        recall = np.mean([
+            len(set(idx[i]) & set(exact_idx[i])) / 10
+            for i in range(len(idx))
+        ])
+        assert recall >= 0.9, recall
