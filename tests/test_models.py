@@ -47,6 +47,7 @@ class TestHFParity:
         params, cfg = convert_hf_vit(sd, cfg)
         return model, params, cfg
 
+    @pytest.mark.slow
     def test_forward_matches_hf(self, hf_model_and_params):
         model, params, cfg = hf_model_and_params
         rng = np.random.default_rng(0)
@@ -261,6 +262,7 @@ class TestQKVFeatures:
         v_ours = np.asarray(vit.qkv_features(params, jnp.asarray(x), feat="v", layer_num=0))
         np.testing.assert_allclose(v_ours, v_ref, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow
     def test_last_layer_k_shape_and_extractor(self):
         cfg = ViTConfig(patch_size=4, width=32, depth=3, num_heads=2, img_size=16)
         vit = ViT(cfg)

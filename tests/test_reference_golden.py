@@ -53,6 +53,7 @@ class TestMetricGoldenParity:
             dict(linear_probe=True),
         ],
     )
+    @pytest.mark.slow
     def test_compute_matches_reference(self, ref_metrics_module, seed, kwargs):
         from hbird_tpu.utils.eval_metrics import PredsmIoU
 
