@@ -262,7 +262,12 @@ bank_s, labels_s, valid = shard_bank(bank, labels, mesh)
 vals, idx, labs = ring_knn_with_labels(
     jnp.asarray(q), bank_s, labels_s, k, mesh=mesh, valid_rows=valid,
 )
-vals, idx, labs = np.asarray(vals), np.asarray(idx), np.asarray(labs)
+# Ring outputs are query-sharded over the GLOBAL mesh: fetch via
+# allgather (plain np.asarray refuses arrays spanning other processes).
+from jax.experimental import multihost_utils as MH
+vals = np.asarray(MH.process_allgather(vals, tiled=True))
+idx = np.asarray(MH.process_allgather(idx, tiled=True))
+labs = np.asarray(MH.process_allgather(labs, tiled=True))
 exact = q @ bank.T
 exact_idx = np.argsort(-exact, axis=1, kind="stable")[:, :k]
 exact_vals = np.take_along_axis(exact, exact_idx, axis=1)
@@ -295,7 +300,7 @@ tvals, tidx, tlabs = sharded_ivf_knn_with_labels(
     mesh=mesh, cap=cap, n_probe=n_leaves, block_q=64,
 )
 # Full probe (n_probe == n_leaves) must recover the exact neighbours.
-tvals = np.asarray(tvals)
+tvals = np.asarray(MH.process_allgather(tvals, tiled=True))
 np.testing.assert_allclose(np.sort(tvals, 1), np.sort(exact_vals, 1),
                            atol=1e-4)
 print(f"RING4_{pid}_TREE_OK", flush=True)
