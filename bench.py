@@ -452,6 +452,15 @@ def main() -> None:
 
     import jax
 
+    # The axon sitecustomize force-overrides platform selection at import
+    # time (JAX_PLATFORMS env is ignored); an explicit post-import config
+    # update is the only way to run the smoke/emission-contract check on
+    # CPU without touching the tunnel.
+    if os.environ.get("HBIRD_BENCH_PLATFORM"):
+        jax.config.update(
+            "jax_platforms", os.environ["HBIRD_BENCH_PLATFORM"]
+        )
+
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -493,6 +502,9 @@ def main() -> None:
         f"(all: { {k: round(v) for k, v in measured.items()} }) "
         f"after {time.time()-t_start:.0f}s")
 
+    if os.environ.get("HBIRD_BENCH_SMOKE"):
+        log("[smoke] JSON emitted; skipping diagnostics")
+        return
     diagnostics(q_bf16, bank_bf16, measured, rng)
 
     # Exiting while an abandoned compile thread is mid-TPU-operation
