@@ -165,8 +165,14 @@ def build_model(cfg: RunConfig):
                     f"width={config.width}/patch={config.patch_size}, checkpoint "
                     f"has width={conv_cfg.width}/patch={conv_cfg.patch_size}"
                 )
-            vit = ViT(dataclasses.replace(conv_cfg, ln_eps=config.ln_eps,
-                                          num_heads=config.num_heads))
+            # Carry the preset's family conventions the shape-inferred
+            # config cannot know: head count, LN eps, and the pos-embed
+            # interpolation convention (hub offset-0.1 / -reg antialias).
+            vit = ViT(dataclasses.replace(
+                conv_cfg, ln_eps=config.ln_eps, num_heads=config.num_heads,
+                pos_interp_offset=config.pos_interp_offset,
+                pos_interp_antialias=config.pos_interp_antialias,
+            ))
             return vit, params
         if not cfg.random_init:
             raise RuntimeError(

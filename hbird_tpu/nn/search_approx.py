@@ -935,14 +935,21 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             return vals, idx, out_labels
         # `reorder(C)` semantics (reference search_scann.py:32): grab C
         # approximate candidates, exact-rescore, keep the top k.
-        if self.distance_measure == "dot_product":
+        if self.distance_measure in ("dot_product", "l2", "euclidean"):
             # The fused exact kernel DOMINATES the PartialReduce primitive
             # on TPU — 59.6k vs 21.7k q/s at 1M rows at recall 1.0 vs
             # 0.9998, and 12x the ScaNN-literal reorder(120) config
             # (scripts/bench_backends.py) — so the flat path routes to it
             # and skips reorder (re-scoring exact results is a no-op).
-            # Approximation that actually PAYS on TPU is the leaf-
-            # partitioned tree (use_tree=True).
+            # Since round 4 the kernel covers expanded-norm l2 too, so
+            # both Faiss-parity metrics take the fast path; approximation
+            # that actually PAYS on TPU is the leaf-partitioned tree
+            # (use_tree=True).
+            distance = (
+                "dot_product"
+                if self.distance_measure == "dot_product"
+                else "l2"
+            )
             return sharded_knn_with_labels(
                 q.astype(bank.dtype),
                 bank,
@@ -950,7 +957,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 k,
                 mesh=self.mesh,
                 valid_rows=self.valid_rows,
-                distance="dot_product",
+                distance=distance,
                 query_block=self.query_block,
                 bank_block=self.bank_block,
                 kernel="pallas",
@@ -962,7 +969,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             k,
             mesh=self.mesh,
             valid_rows=self.valid_rows,
-            distance="l2" if self.distance_measure == "euclidean" else self.distance_measure,
+            distance=self.distance_measure,
             approx=True,
             recall_target=self.recall_target,
             query_block=self.query_block,

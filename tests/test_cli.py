@@ -108,3 +108,130 @@ class TestCompatLayer:
         from hbird_tpu.nn.search_exact import NearestNeighborSearchExact
 
         assert NearestNeighborSearchFaiss is NearestNeighborSearchExact
+
+
+class TestBuildModelNegativePaths:
+    """Error paths of build_model (r3 weak item: the preset surface was
+    happy-path-only tested while its checkpoints can never load here)."""
+
+    def _cfg(self, **kw):
+        from hbird_tpu.eval_cli import RunConfig
+
+        base = dict(
+            dataset_name="voc", data_dir="/d", d_model=384, patch_size=16,
+        )
+        base.update(kw)
+        return RunConfig(**base)
+
+    def test_misspelled_preset_lists_available(self):
+        from hbird_tpu.eval_cli import build_model
+
+        with pytest.raises(RuntimeError, match="Unknown model preset"):
+            build_model(self._cfg(model="dino_vitz16"))
+        # the error must name real alternatives
+        with pytest.raises(RuntimeError, match="dino_vits16"):
+            build_model(self._cfg(model="dino_vitz16"))
+
+    def test_unsupported_dinov2_size(self):
+        from hbird_tpu.eval_cli import build_model
+
+        with pytest.raises(RuntimeError, match="Unsupported --dinov2"):
+            build_model(self._cfg(dinov2="vith14", d_model=1280))
+
+    def test_no_model_specified(self):
+        from hbird_tpu.eval_cli import build_model
+
+        with pytest.raises(RuntimeError, match="No model specified"):
+            build_model(self._cfg())
+
+    def test_preset_without_checkpoint_or_random_init(self):
+        from hbird_tpu.eval_cli import build_model
+
+        with pytest.raises(RuntimeError, match="No --checkpoint"):
+            build_model(self._cfg(model="dino_vits16"))
+
+    def test_checkpoint_shape_mismatch(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import numpy as np
+
+        from hbird_tpu.eval_cli import build_model
+        from hbird_tpu.models.vit import VIT_PRESETS, ViT
+
+        # Write a real torch checkpoint of the WRONG geometry (patch 8
+        # vs the preset's 16).
+        import jax
+
+        cfg8 = VIT_PRESETS["dino_vits8"]
+        params = ViT(cfg8).init(jax.random.PRNGKey(0))
+        sd = {
+            "patch_embed.proj.weight": torch.zeros(384, 3, 8, 8),
+            "patch_embed.proj.bias": torch.zeros(384),
+            "cls_token": torch.zeros(1, 1, 384),
+            "pos_embed": torch.zeros(1, 1 + 28 * 28, 384),
+            "norm.weight": torch.ones(384),
+            "norm.bias": torch.zeros(384),
+        }
+        for i in range(12):
+            sd.update({
+                f"blocks.{i}.norm1.weight": torch.ones(384),
+                f"blocks.{i}.norm1.bias": torch.zeros(384),
+                f"blocks.{i}.attn.qkv.weight": torch.zeros(1152, 384),
+                f"blocks.{i}.attn.qkv.bias": torch.zeros(1152),
+                f"blocks.{i}.attn.proj.weight": torch.zeros(384, 384),
+                f"blocks.{i}.attn.proj.bias": torch.zeros(384),
+                f"blocks.{i}.norm2.weight": torch.ones(384),
+                f"blocks.{i}.norm2.bias": torch.zeros(384),
+                f"blocks.{i}.mlp.fc1.weight": torch.zeros(1536, 384),
+                f"blocks.{i}.mlp.fc1.bias": torch.zeros(1536),
+                f"blocks.{i}.mlp.fc2.weight": torch.zeros(384, 1536),
+                f"blocks.{i}.mlp.fc2.bias": torch.zeros(384),
+            })
+        path = str(tmp_path / "wrong.pth")
+        torch.save(sd, path)
+        del params
+        with pytest.raises(RuntimeError, match="shape mismatch"):
+            build_model(
+                self._cfg(model="dino_vits16", checkpoint=path)
+            )
+
+    def test_checkpoint_load_carries_preset_interp_convention(self, tmp_path):
+        """A dinov2 preset + matching checkpoint must keep the preset's
+        hub interpolation convention (offset 0.1), not the converter's
+        shape-inferred default."""
+        torch = pytest.importorskip("torch")
+
+        from hbird_tpu.eval_cli import build_model
+
+        d, depth = 384, 12
+        sd = {
+            "patch_embed.proj.weight": torch.zeros(d, 3, 14, 14),
+            "patch_embed.proj.bias": torch.zeros(d),
+            "cls_token": torch.zeros(1, 1, d),
+            "pos_embed": torch.zeros(1, 1 + 37 * 37, d),
+            "norm.weight": torch.ones(d),
+            "norm.bias": torch.zeros(d),
+        }
+        for i in range(depth):
+            sd.update({
+                f"blocks.{i}.norm1.weight": torch.ones(d),
+                f"blocks.{i}.norm1.bias": torch.zeros(d),
+                f"blocks.{i}.attn.qkv.weight": torch.zeros(3 * d, d),
+                f"blocks.{i}.attn.qkv.bias": torch.zeros(3 * d),
+                f"blocks.{i}.attn.proj.weight": torch.zeros(d, d),
+                f"blocks.{i}.attn.proj.bias": torch.zeros(d),
+                f"blocks.{i}.norm2.weight": torch.ones(d),
+                f"blocks.{i}.norm2.bias": torch.zeros(d),
+                f"blocks.{i}.ls1.gamma": torch.ones(d),
+                f"blocks.{i}.ls2.gamma": torch.ones(d),
+                f"blocks.{i}.mlp.fc1.weight": torch.zeros(4 * d, d),
+                f"blocks.{i}.mlp.fc1.bias": torch.zeros(4 * d),
+                f"blocks.{i}.mlp.fc2.weight": torch.zeros(d, 4 * d),
+                f"blocks.{i}.mlp.fc2.bias": torch.zeros(d),
+            })
+        path = str(tmp_path / "dinov2s.pth")
+        torch.save(sd, path)
+        vit, params = build_model(
+            self._cfg(dinov2="vits14", checkpoint=path)
+        )
+        assert vit.config.pos_interp_offset == 0.1
+        assert vit.config.layerscale

@@ -386,3 +386,21 @@ class TestPallasL2:
         np.testing.assert_allclose(
             np.asarray(labs), labels[ref_idx], atol=1e-5
         )
+
+    def test_flat_scann_l2_routes_to_exact_kernel(self):
+        """The flat 'scann' backend's non-dot path (r3 weak item): l2 now
+        rides the fused exact kernel (recall 1.0) instead of the slow
+        lax.approx_max_k scan."""
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        rng = np.random.default_rng(15)
+        bank = (rng.normal(size=(600, 16)) * 1.4).astype(np.float32)
+        nn = NearestNeighborSearchApprox(
+            jnp.asarray(bank), n_neighbors=6, distance_measure="l2",
+            use_fp16=False,
+        )
+        q = rng.normal(size=(20, 16)).astype(np.float32)
+        idx, vals = nn.find_nearest_neighbors(q)
+        ref_vals, ref_idx = self._brute_l2(q, bank, 6)
+        np.testing.assert_allclose(vals, ref_vals, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(idx, ref_idx)
