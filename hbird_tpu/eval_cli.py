@@ -80,6 +80,11 @@ class RunConfig:
     checkpoint: Optional[str] = None
     random_init: bool = False
     hf_model: Optional[str] = None  # HuggingFace id or local dir
+    # Runtime model fetch (reference eval.py:207-234 turnkey semantics):
+    # resolve --model/--dinov2 via torch.hub / timm.create_model when the
+    # name is not a local preset+checkpoint, wrapping the LIVE torch
+    # module (models/torch_adapter.py). Needs network/cached hub models.
+    runtime_fetch: bool = False
 
     amp: bool = False  # bf16 backbone compute (TPU analogue of CUDA AMP)
     seed: Optional[int] = 123
@@ -115,6 +120,39 @@ def configure_logging(level: str = "INFO") -> None:
     logging.basicConfig(format="[%(levelname)s] %(message)s", level=lvl, force=True)
 
 
+def _runtime_fetch_backbone(cfg: RunConfig, name: str):
+    """Load a live torch backbone by name (reference eval.py:207-234):
+    'dinov2_*' / --dinov2 via torch.hub facebookresearch/dinov2,
+    'dino_*' via facebookresearch/dino, anything else via
+    timm.create_model(name, pretrained=True). Returns a non-jittable
+    FeatureExtractorSimple wrapping the module."""
+    import torch
+
+    from hbird_tpu.models.torch_adapter import wrap_torch_backbone
+
+    if name.startswith("dinov2_"):
+        # forward_features returns a dict with 'x_norm_patchtokens'.
+        module = torch.hub.load("facebookresearch/dinov2", name)
+        fwd = lambda m, x: m.forward_features(x)  # noqa: E731
+    elif name.startswith("dino_"):
+        # DINO hub models' __call__ returns the CLS embedding only; use
+        # get_intermediate_layers for full tokens (reference notebook
+        # convention, examples/hbird_eval_example_*.ipynb).
+        module = torch.hub.load("facebookresearch/dino:main", name)
+        fwd = lambda m, x: m.get_intermediate_layers(x)[0]  # noqa: E731
+    else:
+        import timm
+
+        module = timm.create_model(name, pretrained=True)
+        fwd = lambda m, x: m.forward_features(x)  # noqa: E731
+    return wrap_torch_backbone(
+        module,
+        eval_spatial_resolution=cfg.input_size // cfg.patch_size,
+        d_model=cfg.d_model,
+        forward=fwd,
+    )
+
+
 def build_model(cfg: RunConfig):
     """Resolve (ViT, params) from the config.
 
@@ -147,14 +185,28 @@ def build_model(cfg: RunConfig):
     elif cfg.timm_model:
         preset_name = cfg.timm_model
 
+    if (
+        cfg.runtime_fetch
+        and preset_name is not None
+        and not cfg.checkpoint
+        and not cfg.random_init
+    ):
+        # Turnkey runtime loading (reference eval.py:207-234): dinov2
+        # aliases via torch.hub facebookresearch/dinov2, dino_* via
+        # facebookresearch/dino, anything else via timm.create_model —
+        # wrapped LIVE (host-eager, non-jittable). Convert a downloaded
+        # checkpoint instead for the fused jitted path.
+        return _runtime_fetch_backbone(cfg, preset_name)
+
     if preset_name is not None:
         if preset_name in VIT_PRESETS:
             config = VIT_PRESETS[preset_name]
         else:
             raise RuntimeError(
                 f"Unknown model preset '{preset_name}'. Available: "
-                f"{sorted(VIT_PRESETS)} — or pass --hf-model / plug your own "
-                "model via the library API."
+                f"{sorted(VIT_PRESETS)} — or pass --hf-model, "
+                "--runtime-fetch (torch.hub/timm on a networked host), "
+                "or plug your own model via the library API."
             )
         vit = ViT(config)
         if cfg.checkpoint:
@@ -372,6 +424,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Torch checkpoint (.pth) converted to JAX params.")
     p.add_argument("--random-init", action="store_true",
                    help="Random weights (smoke tests / benchmarking).")
+    p.add_argument("--runtime-fetch", action="store_true",
+                   help="Resolve --model/--dinov2 at runtime via "
+                        "torch.hub / timm.create_model (reference "
+                        "eval.py:207-234) and run the LIVE torch module "
+                        "host-eagerly. Needs network or cached hub "
+                        "models; convert a checkpoint instead for the "
+                        "fused jitted path.")
     # TPU extras
     p.add_argument("--mesh-bank", type=int, default=None,
                    help="Shard the memory bank over N devices.")
@@ -451,6 +510,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         hf_model=args.hf_model,
         checkpoint=args.checkpoint,
         random_init=bool(args.random_init),
+        runtime_fetch=bool(args.runtime_fetch),
         amp=bool(args.amp),
         seed=args.seed,
         nn=NNBackend(

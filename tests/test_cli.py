@@ -235,3 +235,88 @@ class TestBuildModelNegativePaths:
         )
         assert vit.config.pos_interp_offset == 0.1
         assert vit.config.layerscale
+
+
+class TestRuntimeFetch:
+    """--runtime-fetch: the reference's turnkey torch.hub/timm runtime
+    loading (eval.py:207-234), resolved to a live wrapped module."""
+
+    def _cfg(self, **kw):
+        from hbird_tpu.eval_cli import RunConfig
+
+        base = dict(
+            dataset_name="voc", data_dir="/d", d_model=8, patch_size=4,
+            input_size=16, runtime_fetch=True,
+        )
+        base.update(kw)
+        return RunConfig(**base)
+
+    def test_dino_via_torch_hub(self, monkeypatch):
+        torch = pytest.importorskip("torch")
+
+        from hbird_tpu.eval_cli import build_model
+        from hbird_tpu.models import FeatureExtractorSimple
+
+        class FakeDino(torch.nn.Module):
+            def get_intermediate_layers(self, x, n=1):
+                b = x.shape[0]
+                return [torch.zeros(b, 1 + 16, 8)]  # CLS + 4x4 patches
+
+        calls = {}
+
+        def fake_hub_load(repo, name, **kw):
+            calls["repo"], calls["name"] = repo, name
+            return FakeDino()
+
+        monkeypatch.setattr(torch.hub, "load", fake_hub_load)
+        fe = build_model(self._cfg(model="dino_vits16"))
+        assert isinstance(fe, FeatureExtractorSimple)
+        assert fe.jittable is False
+        assert calls == {
+            "repo": "facebookresearch/dino:main", "name": "dino_vits16"
+        }
+        import numpy as np
+
+        feats, _ = fe.forward_features(
+            np.zeros((2, 3, 16, 16), np.float32)
+        )
+        assert feats.shape == (2, 16, 8)  # CLS dropped
+
+    def test_timm_fallback_for_unknown_names(self, monkeypatch):
+        torch = pytest.importorskip("torch")
+        import sys
+        import types
+
+        from hbird_tpu.eval_cli import build_model
+        from hbird_tpu.models import FeatureExtractorSimple
+
+        class FakeTimmViT(torch.nn.Module):
+            def forward_features(self, x):
+                return torch.zeros(x.shape[0], 1 + 16, 8)
+
+        fake_timm = types.ModuleType("timm")
+        created = {}
+
+        def create_model(name, pretrained=False, **kw):
+            created["name"], created["pretrained"] = name, pretrained
+            return FakeTimmViT()
+
+        fake_timm.create_model = create_model
+        monkeypatch.setitem(sys.modules, "timm", fake_timm)
+        fe = build_model(self._cfg(model="eva02_base_patch14_224"))
+        assert isinstance(fe, FeatureExtractorSimple)
+        assert created == {
+            "name": "eva02_base_patch14_224", "pretrained": True
+        }
+
+    def test_checkpoint_beats_runtime_fetch(self):
+        # An explicit checkpoint keeps the converted/jitted path even
+        # with --runtime-fetch (the flag is the no-checkpoint fallback).
+        from hbird_tpu.eval_cli import build_model
+
+        with pytest.raises(RuntimeError, match="Unknown model preset"):
+            # unknown preset + checkpoint: fails in the preset branch
+            # (never tries hub/timm)
+            build_model(
+                self._cfg(model="not_a_preset", checkpoint="/nope.pth")
+            )
