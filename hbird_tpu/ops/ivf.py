@@ -529,6 +529,12 @@ def ivf_search_per_query(
 def _dedup_topk(cand_vals, cand_idx, k: int):
     """Top-k over candidate sets that may repeat bank rows (equal scores):
     keep the first occurrence of each idx, mask the rest to -inf."""
+    # Invalid fillers (underfilled leaves emit -inf with idx 0) must not
+    # collide with a REAL row-0 candidate in the dedup grouping — give
+    # them a sentinel id no real row reaches.
+    cand_idx = jnp.where(
+        jnp.isfinite(cand_vals), cand_idx, jnp.int32(2**30)
+    )
     order = jnp.argsort(cand_idx, axis=1)
     si = jnp.take_along_axis(cand_idx, order, axis=1)
     sv = jnp.take_along_axis(cand_vals, order, axis=1)

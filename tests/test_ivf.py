@@ -1262,3 +1262,25 @@ class TestPerQueryProbe:
             for i in range(len(idx))
         ])
         assert recall >= 0.9, recall
+
+
+class TestDedupTopk:
+    def test_duplicates_collapse(self):
+        from hbird_tpu.ops.ivf import _dedup_topk
+
+        vals = jnp.asarray([[5.0, 5.0, 3.0, 2.0, 3.0, 1.0]])
+        idx = jnp.asarray([[7, 7, 4, 9, 4, 2]], dtype=jnp.int32)
+        v, i = _dedup_topk(vals, idx, 3)
+        assert sorted(np.asarray(i)[0].tolist()) == [4, 7, 9]
+        np.testing.assert_allclose(np.sort(np.asarray(v)[0]), [2, 3, 5])
+
+    def test_filler_does_not_mask_real_row_zero(self):
+        """Underfilled-leaf fillers carry (val=-inf, idx=0); a REAL row-0
+        candidate must survive dedup even when a filler sorts first."""
+        from hbird_tpu.ops.ivf import NEG_INF, _dedup_topk
+
+        vals = jnp.asarray([[NEG_INF, 9.0, 4.0, NEG_INF]])
+        idx = jnp.asarray([[0, 0, 3, 0]], dtype=jnp.int32)
+        v, i = _dedup_topk(vals, idx, 2)
+        assert 0 in np.asarray(i)[0].tolist()
+        assert 9.0 in np.asarray(v)[0].tolist()
