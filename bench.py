@@ -310,6 +310,32 @@ def diagnostics(q_bf16, bank_bf16, measured, rng):
     except Exception as e:  # noqa: BLE001
         log(f"[ivf bf16] skipped: {e}")
 
+    # Expanded-norm L2 variant of the fused kernel (round 4): should land
+    # within ~1.1x of the dot headline (one extra (1, BLOCK_M) bias
+    # stream + subtract).
+    try:
+        from hbird_tpu.ops.knn_pallas import pallas_knn
+
+        t0 = time.time()
+        vals, _ = pallas_knn(
+            q_bf16, bank_bf16, K, block_q=256, block_m=8192, distance="l2"
+        )
+        _force(vals[:1])
+        log(f"[l2 carry] first call (incl. compile): {time.time()-t0:.1f}s")
+        best_dt = float("inf")
+        for _ in range(3):
+            t1 = time.time()
+            vals, _ = pallas_knn(
+                q_bf16, bank_bf16, K, block_q=256, block_m=8192,
+                distance="l2",
+            )
+            _force(vals[:1])
+            best_dt = min(best_dt, time.time() - t1)
+        log(f"[l2 carry] {best_dt*1e3:.1f} ms/batch -> "
+            f"{Q_N/best_dt:,.0f} q/s/chip")
+    except Exception as e:  # noqa: BLE001
+        log(f"[l2 carry] skipped: {e}")
+
     # Backbone forward throughput.
     try:
         from hbird_tpu.models.vit import VIT_PRESETS, ViT
