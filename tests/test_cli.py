@@ -150,6 +150,7 @@ class TestBuildModelNegativePaths:
         with pytest.raises(RuntimeError, match="No --checkpoint"):
             build_model(self._cfg(model="dino_vits16"))
 
+    @pytest.mark.slow  # ~10s: builds and converts a full checkpoint twice
     def test_checkpoint_shape_mismatch(self, tmp_path):
         torch = pytest.importorskip("torch")
         import numpy as np

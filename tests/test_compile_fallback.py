@@ -51,6 +51,7 @@ def _run(monkeypatch, budget):
 
 
 class TestCompileBudgetFallback:
+    @pytest.mark.slow  # ~15s: runs the engine twice (fallback + baseline)
     def test_fallback_fires_and_results_match(self, monkeypatch):
         # Baseline: generous budget -> no fallback, merge mode stays carry.
         ev_ok, miou_ok = _run(monkeypatch, None)

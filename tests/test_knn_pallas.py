@@ -187,6 +187,7 @@ class TestInt8Bank:
         assert recall >= 0.85, recall
 
 
+@pytest.mark.slow  # rejected merge variant kept for coverage; ~15s in interpret mode
 class TestBucketMerge:
     """Tournament (group-max) merge variant vs the oracle (interpret mode)."""
 
