@@ -91,11 +91,17 @@ def arm_watchdog(deadline_ts: float) -> None:
             if dt <= 0:
                 break
             time.sleep(min(dt, 5.0))
-        if not _JSON_EMITTED.is_set():
-            emit(0.0, error="watchdog: no measurement before deadline")
-            log("[watchdog] deadline hit with no JSON — emitted error "
-                "record and exiting")
-            os._exit(0)
+        with _EMIT_LOCK:
+            already = _JSON_EMITTED.is_set()
+        if already:
+            # Main landed the record at the wire — let it finish its own
+            # teardown (compile-thread drain) instead of hard-exiting
+            # underneath it.
+            return
+        emit(0.0, error="watchdog: no measurement before deadline")
+        log("[watchdog] deadline hit with no JSON — emitted error "
+            "record and exiting")
+        os._exit(0)
 
     threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
 
@@ -461,14 +467,20 @@ def main() -> None:
     watchdog_deadline = t_start + watchdog_s
     arm_watchdog(watchdog_deadline)
 
-    if not os.environ.get("HBIRD_BENCH_SMOKE"):
+    platform_override = os.environ.get("HBIRD_BENCH_PLATFORM", "")
+    on_cpu = platform_override.split(",")[0].strip().lower() == "cpu"
+    if not os.environ.get("HBIRD_BENCH_SMOKE") and not on_cpu:
         # The wait budget must leave room to emit + exit before the
         # watchdog; never walk into in-process jax init on a dead device
-        # (BENCH_r03: that hang produced rc=124 / parsed=null).
-        wait_budget = min(
-            float(os.environ.get("HBIRD_BENCH_INIT_WAIT", 1200.0)),
-            watchdog_deadline - time.time() - 120.0,
-        )
+        # (BENCH_r03: that hang produced rc=124 / parsed=null). A CPU
+        # platform override needs no TPU at all — skip the probe.
+        init_wait = float(os.environ.get("HBIRD_BENCH_INIT_WAIT", 1200.0))
+        wait_budget = min(init_wait, watchdog_deadline - time.time() - 120.0)
+        if init_wait > 0:
+            # A tight watchdog must shrink the probe budget, not void it:
+            # budget <= 0 means "skip the probe" inside wait_for_device,
+            # which would walk straight into a hangable in-process init.
+            wait_budget = max(wait_budget, 60.0)
         if not wait_for_device(wait_budget):
             emit(0.0, error="device unreachable: all probes failed "
                             f"within {wait_budget:.0f}s")
@@ -530,12 +542,13 @@ def main() -> None:
 
     if os.environ.get("HBIRD_BENCH_SMOKE"):
         log("[smoke] JSON emitted; skipping diagnostics")
-        return
-    diagnostics(q_bf16, bank_bf16, measured, rng)
+    else:
+        diagnostics(q_bf16, bank_bf16, measured, rng)
 
     # Exiting while an abandoned compile thread is mid-TPU-operation
     # wedges the remote tunnel for the NEXT process (observed round 3);
-    # drain them within a bounded grace before returning.
+    # drain them within a bounded grace before returning — in smoke mode
+    # too (a smoke run on the real device can still abandon a compile).
     grace = float(os.environ.get("HBIRD_BENCH_EXIT_GRACE", 900.0))
     t0 = time.time()
     for v in still_pending:

@@ -772,6 +772,10 @@ class HbirdEvaluation:
             self.feature_extractor, "jittable", True
         ):
             return
+        if self.nn_params.get("probe_mode") == "query":
+            # Per-query probing runs the eval step eagerly (host-side
+            # leaf grouping) — there is no jitted step to precompile.
+            return
         if self.nn_params.get("idx_shard") or self.nn_params.get("devices"):
             # Backend-internal meshes shard the state; the AOT executable
             # would be placement-incompatible. Let those JIT.
@@ -1073,7 +1077,11 @@ class HbirdEvaluation:
                                        label_hat)
             return conf, pred, y, None
 
-        if not getattr(fe, "jittable", True):
+        # Eager escape hatches: live torch backbones, and NN backends
+        # whose search is host-orchestrated (per-query IVF probing).
+        if not getattr(fe, "jittable", True) or not getattr(
+            nn, "jittable", True
+        ):
             return step
         return jax.jit(step)
 

@@ -135,6 +135,28 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         # queries under tile probing).
         assert probe_mode in ("auto", "tile", "query"), probe_mode
         self.probe_mode = str(probe_mode)
+        if (
+            self.probe_mode == "query"
+            and mesh is not None
+            and mesh.shape.get("bank", 1) > 1
+        ):
+            # The sharded tree path probes per tile inside shard_map;
+            # honoring 'query' there would need host-side grouping across
+            # shards. Downgrade loudly rather than silently ignoring it.
+            from hbird_tpu.utils.logging import get_logger
+
+            get_logger(__name__).warning(
+                "probe_mode='query' is a single-chip feature; a "
+                "bank-sharded tree probes per query TILE. Using 'tile'."
+            )
+            self.probe_mode = "tile"
+        # Per-query probing is host-orchestrated (leaf grouping on
+        # concrete arrays) and cannot run under jit; the engine checks
+        # this flag and runs its eval step eagerly (the same escape hatch
+        # non-jittable torch backbones use). 'auto' stays jittable: under
+        # a tracer it resolves to tile probing, which is exactly right
+        # for the engine's leaf-coherent dense query tiles.
+        self.jittable = not (self.use_tree and self.probe_mode == "query")
         # Meshed-tree probe semantics (parallel/sharded_ivf.py): 'split'
         # spreads the n_probe budget across shards (constant total scan,
         # recall can dip vs single-chip under leaf skew); 'full' probes
@@ -716,7 +738,10 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             # moves k floats per query across the ICI instead of k*C.
             labels_1 = jax.jit(lambda l: l[:, :1])(self.labels)
 
-            def probe(n_probe):
+            def probe(n_probe, probe_mode="tile"):
+                # The sharded tree path is tile-probing only (per-query
+                # probing is a host-orchestrated single-chip feature);
+                # meshed calibration therefore always measures tile mode.
                 _, idx, _ = sharded_ivf_knn_with_labels(
                     q, self.bank, labels_1, self.centroids,
                     self.leaf_valid, k, mesh=self.mesh, cap=self._cap,
@@ -728,15 +753,23 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             rows = jnp.take(self.slots, choice, axis=0)
             q = jnp.take(self.bank, rows, axis=0)
 
-            def probe(n_probe):
+            def probe(n_probe, probe_mode=self.probe_mode):
+                # Calibrate under the SAME probing granularity the runtime
+                # search uses: tile-probing recall on these iid bank-row
+                # queries under-reads what a per-query runtime would see
+                # (and vice versa), which would mis-size n_probe.
                 _, idx = ivf_search(
                     q, self.bank, self.centroids, self.leaf_valid, k,
                     cap=self._cap, n_probe=n_probe,
-                    block_q=self.query_block,
+                    block_q=self.query_block, probe_mode=probe_mode,
                 )
                 return np.asarray(idx)
 
-        oracle = probe(self._n_leaves)
+        # Full probe is exact search under EITHER granularity (every leaf
+        # is scanned for every tile); run the oracle in tile mode — with
+        # probe_mode='query' it would materialize Q * n_leaves duplicated
+        # query rows for an identical result set.
+        oracle = probe(self._n_leaves, probe_mode="tile")
 
         def recall(idx):
             return float(np.mean([

@@ -393,11 +393,32 @@ def ivf_search(
             if probe_mode == "query":
                 from hbird_tpu.utils.logging import get_logger
 
-                get_logger(__name__).info(
-                    "ivf_search: low tile coherence (%.1f distinct primary "
-                    "leaves/tile vs n_probe=%d) — switching to per-query "
-                    "probing.", coh, n_probe,
+                # Per-query probing materializes each query once per
+                # probed leaf (Q * n_probe rows). Cap the duplicated
+                # buffer at 1 GB — above that a low-coherence query set
+                # stays on the tile path with a diluted-recall warning
+                # rather than risking device OOM next to a large bank.
+                dup_bytes = (
+                    queries.shape[0] * min(n_probe, centroids.shape[0])
+                    * queries.shape[1] * jnp.dtype(jnp.float32).itemsize
                 )
+                if dup_bytes > 1 << 30:
+                    probe_mode = "tile"
+                    get_logger(__name__).warning(
+                        "ivf_search: low tile coherence (%.1f distinct "
+                        "primary leaves/tile vs n_probe=%d) but the query "
+                        "set is too large for per-query probing "
+                        "(%.1f GB duplicated); staying on tile probing — "
+                        "recall may be diluted. Split the query set or "
+                        "pass probe_mode='query' explicitly.",
+                        coh, n_probe, dup_bytes / 2**30,
+                    )
+                else:
+                    get_logger(__name__).info(
+                        "ivf_search: low tile coherence (%.1f distinct "
+                        "primary leaves/tile vs n_probe=%d) — switching "
+                        "to per-query probing.", coh, n_probe,
+                    )
     if probe_mode == "query":
         if traced:
             raise ValueError(
@@ -406,7 +427,8 @@ def ivf_search(
             )
         return ivf_search_per_query(
             queries, ivf_bank, centroids, leaf_valid, k,
-            cap=cap, n_probe=n_probe, kernel=kernel, interpret=interpret,
+            cap=cap, n_probe=n_probe, block_q=block_q, kernel=kernel,
+            interpret=interpret,
         )
     assert probe_mode == "tile", probe_mode
     q_n = queries.shape[0]
@@ -504,6 +526,22 @@ def ivf_search_per_query(
     pair_pos = np.empty(pair_q.size, np.int64)
     pair_pos[order] = pos_sorted
 
+    # Bucket the tile count to a multiple of 16: the kernel's grid/shapes
+    # (and thus its jit-cache key) depend on the tile count, which varies
+    # with each query set's leaf histogram — without bucketing nearly
+    # every new batch pays a fresh Pallas compile (minutes each through
+    # the remote Mosaic compiler). A dummy tile re-scans one leaf slab
+    # for block_q copies of query 0 and its results are never regathered;
+    # at most 15 extra tiles ≈ 15*cap*block_q MACs — noise next to the
+    # real Q*n_probe*cap scan.
+    t_pad = (-tile_leaf.size) % 16
+    if t_pad:
+        fill_leaf = tile_leaf[0] if tile_leaf.size else np.int32(0)
+        tile_leaf = np.concatenate(
+            [tile_leaf, np.full(t_pad, fill_leaf, np.int32)]
+        )
+        q_sel = np.concatenate([q_sel, np.zeros(t_pad * block_q, np.int32)])
+
     q_grouped = jnp.asarray(queries)[jnp.asarray(q_sel)]
     lids = jnp.asarray(tile_leaf[:, None])  # (T, 1): one slab per tile
     if kernel == "auto":
@@ -544,7 +582,13 @@ def _dedup_topk(cand_vals, cand_idx, k: int):
     )
     sv = jnp.where(dup, NEG_INF, sv)
     vals, sel = jax.lax.top_k(sv, k)
-    return vals, jnp.take_along_axis(si, sel, axis=1)
+    idx = jnp.take_along_axis(si, sel, axis=1)
+    # A query whose probed leaves hold fewer than k distinct valid rows
+    # gets trailing -inf slots — clamp their sentinel id back to 0 so
+    # every returned index is a valid IVF-layout position (consumers map
+    # indices through the layout perm; 2**30 would be out of range).
+    idx = jnp.where(idx >= jnp.int32(2**30), 0, idx)
+    return vals, idx
 
 
 def ivf_search_xla(

@@ -750,6 +750,28 @@ class TestProbeCalibration:
         with pytest.raises(AssertionError):
             flat.calibrate_n_probe(0.9)
 
+    def test_calibrates_under_runtime_probe_mode(self):
+        """A probe_mode='query' backend must calibrate under per-query
+        probing: tile probing under-reads recall on iid calibration
+        queries (shortlist dilution), which would inflate n_probe far
+        beyond what the per-query runtime path needs."""
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        x, _ = mixture_bank(6000, 32, 24, seed=41, noise=0.05)
+
+        def calibrated(mode):
+            nn = NearestNeighborSearchApprox(
+                x, n_neighbors=10, use_tree=True, num_leaves=24,
+                num_leaves_to_search=24, query_block=64, probe_mode=mode,
+            )
+            return nn.calibrate_n_probe(0.9, n_queries=512, seed=2)
+
+        p_query = calibrated("query")
+        p_tile = calibrated("tile")
+        # Per-query probing reaches the target with at most as many
+        # probed leaves (strictly fewer in the diluted regime).
+        assert 1 <= p_query <= p_tile <= 24, (p_query, p_tile)
+
     def test_meshed_calibration_through_sharded_path(self):
         """Meshed trees calibrate through the REAL sharded search
         (shard_probe semantics): the full-probe oracle is exact per
@@ -1018,6 +1040,50 @@ class TestEngineRecallTargetCalibration:
                        for r in caplog.records)
         assert ev.NN_algorithm.num_leaves_to_search == 2
 
+    def test_engine_probe_mode_query_runs_eagerly(self):
+        """probe_mode='query' must work through the ENGINE: per-query
+        probing is host-orchestrated, so the eval step cannot be jitted —
+        the backend flags jittable=False and the engine runs the step
+        eagerly (caught by the CLI verify drive: the jitted step raised
+        'needs concrete queries')."""
+        from hbird_tpu import HbirdEvaluation
+        from hbird_tpu.models import FeatureExtractorSimple
+
+        INPUT, PATCH = 32, 4
+        S = INPUT // PATCH
+
+        def oracle_fn(model, imgs):
+            b, c, h, w = imgs.shape
+            s = h // PATCH
+            xm = imgs.reshape(b, c, s, PATCH, s, PATCH).mean(axis=(3, 5))
+            return xm.transpose(0, 2, 3, 1).reshape(b, s * s, c), None
+
+        rng = np.random.default_rng(55)
+        imgs = rng.normal(size=(8, 3, INPUT, INPUT)).astype(np.float32)
+        ids = (rng.integers(0, 4, (8, 1, INPUT, INPUT)) / 255.0).astype(
+            np.float32
+        )
+        loader = [(imgs[i:i + 4], ids[i:i + 4]) for i in (0, 4)]
+        fe = FeatureExtractorSimple(None, oracle_fn,
+                                    eval_spatial_resolution=S, d_model=3)
+
+        def run(mode):
+            ev = HbirdEvaluation(
+                fe, loader, num_classes=21, n_neighbours=3,
+                nn_method="ivf", dataset_size=8,
+                nn_params=dict(num_leaves=4, num_leaves_to_search=4,
+                               query_block=64, probe_mode=mode),
+            )
+            assert ev.NN_algorithm.jittable == (mode != "query")
+            return float(ev.evaluate(loader, S, ignore_index=255))
+
+        miou_query = run("query")
+        miou_tile = run("tile")
+        # Full probe (n_probe == num_leaves): both granularities scan
+        # every leaf, so the scores — and the mIoU — must agree.
+        assert np.isfinite(miou_query)
+        np.testing.assert_allclose(miou_query, miou_tile, atol=1e-6)
+
     def test_recall_target_none_suppresses_calibration(self, caplog):
         # Explicit recall_target=None (e.g. YAML `recall_target: null`)
         # must DISABLE calibration, not trigger it with the auto-derived
@@ -1284,3 +1350,55 @@ class TestDedupTopk:
         v, i = _dedup_topk(vals, idx, 2)
         assert 0 in np.asarray(i)[0].tolist()
         assert 9.0 in np.asarray(v)[0].tolist()
+
+    def test_underfilled_indices_stay_in_range(self):
+        """Fewer than k distinct finite candidates: the trailing -inf
+        slots must carry IN-RANGE indices (consumers map through the
+        layout perm array; the internal 2**30 filler sentinel would be
+        out of range)."""
+        from hbird_tpu.ops.ivf import NEG_INF, _dedup_topk
+
+        vals = jnp.asarray([[7.0, 7.0, NEG_INF, NEG_INF]])
+        idx = jnp.asarray([[5, 5, 0, 0]], dtype=jnp.int32)
+        v, i = _dedup_topk(vals, idx, 4)
+        i = np.asarray(i)[0]
+        v = np.asarray(v)[0]
+        assert v[0] == 7.0 and i[0] == 5
+        assert (i >= 0).all() and (i < 2**30).all(), i
+        assert np.isneginf(v[1:]).all()
+
+
+class TestPerQueryShapeBucketing:
+    """The per-query path's kernel shapes must not vary with every query
+    set (each distinct tile count is a fresh Pallas compile — minutes on
+    the remote Mosaic compiler). Tile counts are bucketed to multiples
+    of 16."""
+
+    def test_tile_count_bucketed(self, monkeypatch):
+        import hbird_tpu.ops.ivf as ivf_mod
+
+        x, _ = mixture_bank(8192, 32, 48, seed=21, noise=0.05)
+        n_leaves, cap = tree_layout(len(x), 48)
+        c, ivf_bank, _, perm, leaf_valid = _build(x, n_leaves, cap)
+        seen = []
+        real = ivf_mod.ivf_search_xla
+
+        def spy(q, bank, lids, lv, k, *, cap):
+            seen.append((q.shape[0], lids.shape[0]))
+            return real(q, bank, lids, lv, k, cap=cap)
+
+        monkeypatch.setattr(ivf_mod, "ivf_search_xla", spy)
+        rng = np.random.default_rng(0)
+        for seed in range(3):
+            q = jnp.asarray(
+                rng.normal(size=(100 + 7 * seed, 32)).astype(np.float32)
+            )
+            vals, idx = ivf_mod.ivf_search_per_query(
+                q, ivf_bank, c, leaf_valid, 5,
+                cap=cap, n_probe=4, block_q=128, kernel="xla",
+            )
+            assert vals.shape == (q.shape[0], 5)
+        assert seen, "spy never called"
+        for q_rows, n_tiles in seen:
+            assert n_tiles % 16 == 0, seen
+            assert q_rows == n_tiles * 128, seen
