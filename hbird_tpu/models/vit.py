@@ -50,6 +50,13 @@ class ViTConfig:
     # 'xla' = einsum attention; 'flash' = Pallas fused flash attention
     # (TPU only; sequences padded to a 128 multiple with segment masking).
     attention_impl: str = "xla"
+    # Under bf16 compute the (B, H, N, N) attention-logits tensor is the
+    # forward's largest HBM stream (~1.4 GB/layer f32 at batch 16 @518);
+    # storing it in bf16 with a max-stable f32 exp/sum measured +30%
+    # forward throughput on v5e at unchanged cos-sim vs the f32 oracle.
+    # Set True to restore f32 logits (the pre-round-4 conservative mode).
+    # f32 compute is bit-unaffected by this knob.
+    attn_logits_f32: bool = False
     # Positional-table interpolation convention for off-native input sizes
     # (see interpolate_pos_embed): hub DINO/DINOv2 use offset=0.1,
     # DINOv2 -reg and timm use antialias=True.
@@ -359,10 +366,23 @@ def _attention(
             + blk["proj_b"].astype(x.dtype)
         )
         return out, None
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-    )
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    if cfg.attn_logits_f32 or x.dtype == jnp.float32:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    else:
+        # bf16 logits halve the forward's dominant HBM stream (the
+        # (B, H, N, N) tensor); softmax stays max-stable with the exp and
+        # normalization in f32. Measured on v5e @518 b=16: 127 -> 165
+        # img/s at identical cos-sim vs the f32 oracle (the bf16 matmuls
+        # themselves dominate the error either way).
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=x.dtype
+        )
+        m = jax.lax.stop_gradient(logits.max(axis=-1, keepdims=True))
+        e = jnp.exp((logits - m).astype(jnp.float32))
+        attn = (e / e.sum(axis=-1, keepdims=True)).astype(x.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
     out = (

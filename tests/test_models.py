@@ -230,6 +230,51 @@ class TestExtractors:
         assert out["x_norm_patchtokens"].shape == (1, 64, 32)
 
 
+class TestAttnLogitsDtype:
+    """attn_logits_f32 knob: under bf16 compute the logits tensor is
+    stored bf16 (softmax exp/sum stays f32) — a measured +30% forward
+    throughput on v5e; f32 compute must be bit-unaffected by the knob."""
+
+    def _run(self, dtype, logits_f32):
+        import dataclasses
+
+        cfg = ViTConfig(
+            patch_size=4, width=32, depth=2, num_heads=2, img_size=16,
+            compute_dtype=dtype, attn_logits_f32=logits_f32,
+        )
+        vit = ViT(cfg)
+        params = ViT(dataclasses.replace(cfg, compute_dtype=jnp.float32)).init(
+            jax.random.PRNGKey(0)
+        )
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(size=(2, 3, 16, 16)),
+            jnp.float32,
+        )
+        return np.asarray(
+            vit.apply(params, x)["x_norm_patchtokens"], np.float32
+        )
+
+    def test_f32_bit_unaffected(self):
+        a = self._run(jnp.float32, False)
+        b = self._run(jnp.float32, True)
+        np.testing.assert_array_equal(a, b)
+
+    def test_bf16_fast_path_close_to_conservative(self):
+        fast = self._run(jnp.bfloat16, False)
+        slow = self._run(jnp.bfloat16, True)
+        oracle = self._run(jnp.float32, True)
+
+        def cos(u, v):
+            return float(
+                (u * v).sum() / (np.linalg.norm(u) * np.linalg.norm(v))
+            )
+
+        # The bf16-logits path must sit as close to the f32 oracle as the
+        # f32-logits bf16 path does (the bf16 matmuls dominate the error).
+        assert cos(fast, oracle) > 0.999, cos(fast, oracle)
+        assert cos(fast, oracle) >= cos(slow, oracle) - 1e-3
+
+
 class TestQKVFeatures:
     def test_layer0_v_matches_torch(self):
         """v-features of block 0 == Linear_v(LN(conv-embed + pos))."""
