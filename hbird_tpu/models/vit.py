@@ -319,6 +319,7 @@ def _flash_attention(q, k, v, scale: float) -> jax.Array:
     out by segment ids and padded query rows are discarded.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
         SegmentIds,
         flash_attention,
     )
@@ -334,7 +335,18 @@ def _flash_attention(q, k, v, scale: float) -> jax.Array:
         seg = SegmentIds(q=ids, kv=ids)
     else:
         seg = None
-    out = flash_attention(q, k, v, segment_ids=seg, sm_scale=scale)
+    # Measured best at ViT scale (seq 1536, head_dim 64, v5e): a 512
+    # query block with 1536-wide key majors beat the library default by
+    # ~30% (28.2 vs 40.5 ms standalone) — though XLA attention still
+    # wins in-model at these sequence lengths; this path is the opt-in
+    # for multi-k sequences where flash pays. Key majors are capped at
+    # 1536 so the (block_q, block_k) logits tile stays VMEM-sized as
+    # sequences grow.
+    kb = min(1536, n_pad)
+    bs = BlockSizes(min(512, n_pad), kb, kb, 1)
+    out = flash_attention(
+        q, k, v, segment_ids=seg, sm_scale=scale, block_sizes=bs
+    )
     return out[:, :, :n, :]
 
 
