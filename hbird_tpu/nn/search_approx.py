@@ -753,11 +753,18 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             rows = jnp.take(self.slots, choice, axis=0)
             q = jnp.take(self.bank, rows, axis=0)
 
-            def probe(n_probe, probe_mode=self.probe_mode):
-                # Calibrate under the SAME probing granularity the runtime
-                # search uses: tile-probing recall on these iid bank-row
-                # queries under-reads what a per-query runtime would see
-                # (and vice versa), which would mis-size n_probe.
+            # Calibrate under the probing granularity the runtime will
+            # use: an explicit 'query' backend measures per-query recall
+            # (tile probing under-reads it on these iid bank-row queries
+            # and would inflate n_probe). 'auto' calibrates as TILE —
+            # the conservative floor: engine-density runtime resolves to
+            # tile, and a sparse runtime that auto-flips to per-query
+            # only gains recall at the calibrated probe count. (Letting
+            # 'auto' resolve per candidate would flip modes across the
+            # ladder and calibrate optimistically for tile runtimes.)
+            cal_mode = "query" if self.probe_mode == "query" else "tile"
+
+            def probe(n_probe, probe_mode=cal_mode):
                 _, idx = ivf_search(
                     q, self.bank, self.centroids, self.leaf_valid, k,
                     cap=self._cap, n_probe=n_probe,
