@@ -59,11 +59,16 @@ _EMIT_LOCK = threading.Lock()
 _JSON_EMITTED = threading.Event()
 
 
-def emit(value: float, error: str | None = None) -> None:
-    """Print the single benchmark JSON line (at most once per process)."""
+def emit(value: float, error: str | None = None) -> bool:
+    """Print the single benchmark JSON line (at most once per process).
+
+    Returns True iff THIS call printed the record — callers that need to
+    take ownership of teardown (the watchdog) key off the return value
+    rather than a separate check-then-act read of the flag.
+    """
     with _EMIT_LOCK:
         if _JSON_EMITTED.is_set():
-            return
+            return False
         rec = {
             "metric": METRIC_NAME,
             "value": round(float(value), 1),
@@ -75,6 +80,7 @@ def emit(value: float, error: str | None = None) -> None:
         print(json.dumps(rec), flush=True)
         sys.stdout.flush()
         _JSON_EMITTED.set()
+        return True
 
 
 def arm_watchdog(deadline_ts: float) -> None:
@@ -91,17 +97,14 @@ def arm_watchdog(deadline_ts: float) -> None:
             if dt <= 0:
                 break
             time.sleep(min(dt, 5.0))
-        with _EMIT_LOCK:
-            already = _JSON_EMITTED.is_set()
-        if already:
-            # Main landed the record at the wire — let it finish its own
-            # teardown (compile-thread drain) instead of hard-exiting
-            # underneath it.
-            return
-        emit(0.0, error="watchdog: no measurement before deadline")
-        log("[watchdog] deadline hit with no JSON — emitted error "
-            "record and exiting")
-        os._exit(0)
+        # emit() returning False means main landed the record (possibly
+        # between our wake-up and this call) — let main finish its own
+        # teardown (compile-thread drain) instead of hard-exiting
+        # underneath it. Only when OUR emit printed do we own shutdown.
+        if emit(0.0, error="watchdog: no measurement before deadline"):
+            log("[watchdog] deadline hit with no JSON — emitted error "
+                "record and exiting")
+            os._exit(0)
 
     threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
 

@@ -342,7 +342,12 @@ def _flash_attention(q, k, v, scale: float) -> jax.Array:
     # for multi-k sequences where flash pays. Key majors are capped at
     # 1536 so the (block_q, block_k) logits tile stays VMEM-sized as
     # sequences grow.
-    kb = min(1536, n_pad)
+    # block_k_major/block_k must divide kv_seq_len; n_pad is a 512
+    # multiple, so fall back 1536 -> 1024 -> 512 until one divides.
+    if n_pad <= 1536:
+        kb = n_pad
+    else:
+        kb = next(b for b in (1536, 1024, 512) if n_pad % b == 0)
     bs = BlockSizes(min(512, n_pad), kb, kb, 1)
     out = flash_attention(
         q, k, v, segment_ids=seg, sm_scale=scale, block_sizes=bs

@@ -48,9 +48,9 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         distance_measure: str = "dot_product",
         num_leaves: int = 512,
         num_leaves_to_search: int = 32,
-        anisotropic_quantization_threshold: float = 0.2,
+        anisotropic_quantization_threshold: Optional[float] = None,
         num_reordering_candidates: int = 0,
-        dimensions_per_block: int = 4,
+        dimensions_per_block: Optional[int] = None,
         recall_target: Optional[float] = None,
         use_fp16: bool = True,
         use_tree: bool = False,
@@ -77,6 +77,23 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         # passes training_sample_size=bank_rows): alias of tree_sample_rows.
         if "training_sample_size" in kwargs:
             tree_sample_rows = int(kwargs.pop("training_sample_size"))
+        if (
+            anisotropic_quantization_threshold is not None
+            or dimensions_per_block is not None
+        ):
+            from hbird_tpu.utils.logging import get_logger
+
+            # ScaNN's asymmetric-hashing knobs (reference
+            # search_scann.py:29-30) have no effect here: quantized
+            # scoring is bf16 (default) or per-row int8
+            # (quantization='int8_rows') instead of AH codebooks. Say so
+            # once rather than silently ignoring an explicit setting.
+            get_logger(__name__).warning(
+                "anisotropic_quantization_threshold/dimensions_per_block "
+                "are accepted for config compatibility but have no TPU "
+                "analogue (bank storage is bf16, or per-row int8 via "
+                "quantization='int8_rows'); values are ignored."
+            )
         recall_target_explicit = recall_target is not None
         if recall_target is None:
             frac = num_leaves_to_search / max(1, num_leaves)

@@ -394,13 +394,20 @@ def ivf_search(
                 from hbird_tpu.utils.logging import get_logger
 
                 # Per-query probing materializes each query once per
-                # probed leaf (Q * n_probe rows). Cap the duplicated
-                # buffer at 1 GB — above that a low-coherence query set
-                # stays on the tile path with a diluted-recall warning
-                # rather than risking device OOM next to a large bank.
-                dup_bytes = (
+                # probed leaf (Q * n_probe rows) PLUS per-leaf tile
+                # padding (ceil(count/block_q)*block_q per probed leaf,
+                # worst-case block_q-1 extra rows per leaf) and up to 15
+                # bucketing tiles. Cap the duplicated buffer at 1 GB —
+                # above that a low-coherence query set stays on the tile
+                # path with a diluted-recall warning rather than risking
+                # device OOM next to a large bank.
+                dup_rows = (
                     queries.shape[0] * min(n_probe, centroids.shape[0])
-                    * queries.shape[1] * jnp.dtype(jnp.float32).itemsize
+                    + (centroids.shape[0] + 15) * block_q
+                )
+                dup_bytes = (
+                    dup_rows * queries.shape[1]
+                    * jnp.dtype(jnp.float32).itemsize
                 )
                 if dup_bytes > 1 << 30:
                     probe_mode = "tile"
@@ -495,6 +502,14 @@ def ivf_search_per_query(
     sets this path's host orchestration is negligible.
     """
     q_n, d = queries.shape
+    if q_n == 0:
+        # Empty query set: bucketing below would pad 16 dummy tiles whose
+        # q_sel rows index query 0 of a zero-row array — return clean
+        # empty shapes instead.
+        return (
+            jnp.zeros((0, k), jnp.float32),
+            jnp.zeros((0, k), jnp.int32),
+        )
     n_leaves = centroids.shape[0]
     t = min(n_probe, n_leaves)
     kk = min(k, 128)

@@ -53,7 +53,7 @@ def list_files(path: str) -> List[str]:
     if is_tar_path(path):
         tar_path, inner_path = split_tar_path(path)
         if not Path(tar_path).is_file():
-            raise FileNotFoundError(f"Tar archive not found: {tar_path}")
+            raise FileNotFoundError(f"tar archive does not exist: {tar_path}")
         names = _tar_member_files(tar_path)
         files = []
         for name in names:
@@ -64,7 +64,7 @@ def list_files(path: str) -> List[str]:
         return files
 
     if not os.path.isdir(path):
-        raise NotADirectoryError(f"Not a valid directory: {path}")
+        raise NotADirectoryError(f"expected a directory, got: {path}")
     return [
         os.path.relpath(os.path.join(root, f), start=path)
         for root, _, fs in os.walk(path)
@@ -77,17 +77,17 @@ def read_file_set(path: str) -> List[str]:
     if is_tar_path(path):
         tar_path, inner_path = split_tar_path(path)
         if not Path(tar_path).is_file():
-            raise FileNotFoundError(f"Tar archive not found: {tar_path}")
+            raise FileNotFoundError(f"tar archive does not exist: {tar_path}")
         with tarfile.open(tar_path, "r:*") as tar:
             try:
                 member = tar.getmember(inner_path)
             except KeyError:
                 raise FileNotFoundError(
-                    f"File '{inner_path}' not found inside {tar_path}"
+                    f"tar archive {tar_path} has no member {inner_path!r}"
                 )
             f = tar.extractfile(member)
             if f is None:
-                raise IOError(f"Unable to extract {inner_path} from {tar_path}")
+                raise IOError(f"member {inner_path!r} in {tar_path} is not a readable file")
             return [line.strip() for line in f.read().decode("utf-8").splitlines()]
     with open(path, "r", encoding="utf-8") as f:
         return [x.strip() for x in f.readlines()]

@@ -334,3 +334,54 @@ class TestUnboundedOverflowSpill:
         np.testing.assert_array_equal(
             np.asarray(ev.feature_memory), np.asarray(ev_chunked.feature_memory)
         )
+
+
+class TestFlashBlockDivisors:
+    """ADVICE r4 medium: tuned flash BlockSizes must divide the padded
+    kv_seq_len — n_pad=2048 used to pick kb=1536 and raise ValueError."""
+
+    @pytest.mark.parametrize("n", [1369, 1537, 2048, 2500, 4096])
+    def test_eval_shape_accepts_any_length(self, n):
+        import jax
+        import jax.numpy as jnp
+        from hbird_tpu.models.vit import _flash_attention
+
+        b, h, hd = 1, 2, 64
+        q = jax.ShapeDtypeStruct((b, h, n, hd), jnp.float32)
+        # eval_shape traces the pallas call (BlockSizes validation runs)
+        # without executing it, so this works on CPU hosts too.
+        out = jax.eval_shape(
+            lambda q, k, v: _flash_attention(q, k, v, hd**-0.5), q, q, q
+        )
+        assert out.shape == (b, h, n, hd)
+
+
+class TestPerQueryEmptyQueries:
+    """ADVICE r4 low: an empty query set used to pad 16 dummy tiles whose
+    rows gather from a zero-row queries array."""
+
+    def test_empty_queries_clean_shapes(self):
+        import jax
+        import jax.numpy as jnp
+        from hbird_tpu.ops.ivf import (
+            assign_leaves,
+            balanced_layout,
+            build_ivf_arrays,
+            ivf_search,
+            train_centroids,
+        )
+
+        rng = np.random.default_rng(0)
+        bank = rng.normal(size=(512, 16)).astype(np.float32)
+        bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+        x = jnp.asarray(bank)
+        c = train_centroids(x, 8, iters=5, key=jax.random.PRNGKey(0))
+        choices = assign_leaves(x, c, n_choices=3)
+        slots, fill = balanced_layout(choices, 8, 256)
+        ivf_bank, _, _ = build_ivf_arrays(x, None, slots, 8, 256)
+        q = jnp.zeros((0, 16), jnp.float32)
+        vals, idx = ivf_search(
+            q, ivf_bank, c, jnp.asarray(fill, jnp.int32), 5,
+            cap=256, n_probe=4, probe_mode="query",
+        )
+        assert vals.shape == (0, 5) and idx.shape == (0, 5)
