@@ -184,6 +184,10 @@ class HbirdEvaluation:
         self._dataset_size = dataset_size
         self._key = jax.random.PRNGKey(seed)
         self.timer = PhaseTimer()
+        # Real row count of a PADDED mesh-sharded device bank (None =
+        # feature_memory rows are all real). Set by _create_memory's
+        # meshed device accumulation; consumed by _create_nn/_save_memory.
+        self._bank_valid_rows: Optional[int] = None
         # Backbone weights as a device-resident jit argument (see _forward_fn).
         _, self._fwd_operand = self._forward_fn()
 
@@ -276,9 +280,17 @@ class HbirdEvaluation:
                 th.join()
             raise
         if memory_size is not None and filled is not None and filled < memory_size:
-            logger.info("Trimming memory %d -> %d rows", memory_size, filled)
-            self.feature_memory = self.feature_memory[:filled]
-            self.label_memory = self.label_memory[:filled]
+            if getattr(self, "_bank_valid_rows", None) is not None:
+                # Meshed device bank: stays padded/sharded; the short fill
+                # is already masked through _bank_valid_rows.
+                logger.info(
+                    "Meshed memory filled %d of %d rows (masked, not "
+                    "trimmed)", filled, memory_size,
+                )
+            else:
+                logger.info("Trimming memory %d -> %d rows", memory_size, filled)
+                self.feature_memory = self.feature_memory[:filled]
+                self.label_memory = self.label_memory[:filled]
 
         self._save_memory()
         with self.timer.phase("index_build"):
@@ -376,7 +388,10 @@ class HbirdEvaluation:
         # dynamic_update_slice — feature slabs never round-trip to host
         # during the build (the reference pulls every batch to CPU,
         # hbird_eval.py:328-355). Unbounded banks may exceed HBM and go to
-        # host; mesh-sharded banks are assembled host-side then placed.
+        # host. Mesh-sharded banks accumulate straight into a bank-axis-
+        # sharded device array (the IndexShards analogue of Faiss per-GPU
+        # index.add, reference search_faiss.py:78-81) — nothing O(bank)
+        # lands on the host during a meshed build either.
         # Unbounded banks with a known dataset_size have a known final
         # size too (every image contributes S^2 rows per augmentation
         # epoch) and use the same donated-write accumulation — unlike a
@@ -386,35 +401,59 @@ class HbirdEvaluation:
             s2 = eval_spatial_resolution * eval_spatial_resolution
             expected_rows = self._dataset_size * s2 * self.augmentation_epoch
         accum_rows = self.memory_size if bounded else expected_rows
-        device_capable = self.mesh is None and getattr(
+        # Multi-process meshes are out of scope for the device build:
+        # _put_batch's device_put cannot target non-addressable devices.
+        mesh_ok = self.mesh is None or jax.process_count() == 1
+        device_capable = mesh_ok and getattr(
             self.feature_extractor, "jittable", True
         )
         device_accum = accum_rows is not None and device_capable
         # Unbounded banks of unknown size still stay device-resident when
-        # unmeshed (chunk list + one concatenate): pulling every (rows, D)
-        # feature slab to host costs bank_bytes of host<->device bandwidth
-        # (tens of seconds through a remote tunnel) for data the NN index
-        # wants back on device anyway. Mesh-sharded banks are assembled
-        # host-side then placed shard-wise.
+        # device-capable (chunk list + one concatenate): pulling every
+        # (rows, D) feature slab to host costs bank_bytes of host<->device
+        # bandwidth (tens of seconds through a remote tunnel) for data the
+        # NN index wants back on device anyway.
         device_chunks = not bounded and not device_accum and device_capable
         feature_chunks: List[np.ndarray] = []
         label_chunks: List[np.ndarray] = []
         idx = 0
         batch_size: Optional[int] = None
         t0 = time.time()
+        self._bank_valid_rows = None
 
         if device_accum:
-            dev_feats = jnp.zeros(
-                (accum_rows, self.feature_extractor.d_model), jnp.float32
-            )
-            dev_labels = jnp.zeros((accum_rows, self.num_classes), jnp.float32)
+            alloc_rows = accum_rows
+            bank_spec = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            @functools.partial(jax.jit, donate_argnums=(0,))
+                from hbird_tpu.parallel.sharded_knn import pad_rows_for_mesh
+
+                # Rows padded so every bank shard is equal and aligned
+                # (shard_map needs even shards); padded rows are masked
+                # out of search via the backend's valid_rows. jnp.zeros
+                # with an explicit sharding materializes each shard on
+                # its own device — no full-size single-device transient.
+                n_shards = self.mesh.shape.get("bank", 1)
+                alloc_rows = pad_rows_for_mesh(accum_rows, n_shards)
+                bank_spec = NamedSharding(self.mesh, P("bank"))
+            dev_feats = jnp.zeros(
+                (alloc_rows, self.feature_extractor.d_model),
+                jnp.float32, device=bank_spec,
+            )
+            dev_labels = jnp.zeros(
+                (alloc_rows, self.num_classes), jnp.float32, device=bank_spec
+            )
+
+            @functools.partial(
+                jax.jit, donate_argnums=(0,), out_shardings=bank_spec
+            )
             def write_rows(bank, rows, start):
                 # Donated: without it every write allocates a fresh
                 # full-size bank while the old one is live (2x peak HBM —
                 # an OOM at near-capacity banks the comments promise to
-                # avoid).
+                # avoid). out_shardings pins the meshed accumulator to the
+                # bank axis (data-sharded feature slabs reshard on write).
                 return jax.lax.dynamic_update_slice(bank, rows, (start, 0))
 
         def consume(feats, labels, valid, bs):
@@ -450,16 +489,23 @@ class HbirdEvaluation:
                 )
             if device_accum:
                 # Full batches write in place (async dispatch, no host
-                # sync); the (rare) ragged tail batch goes through a host
-                # slice to keep shapes static.
+                # sync); the (rare) ragged tail batch goes through one
+                # extra-shape write_rows compile (meshed: keeps the rows
+                # on device; unmeshed: host slice, as before).
                 if n_rows == feats.shape[0]:
                     dev_feats = write_rows(dev_feats, feats, idx)
                     dev_labels = write_rows(dev_labels, labels, idx)
                 elif n_rows > 0:
-                    f_np = np.asarray(feats[:n_rows], np.float32)
-                    l_np = np.asarray(labels[:n_rows], np.float32)
-                    dev_feats = dev_feats.at[idx : idx + n_rows].set(f_np)
-                    dev_labels = dev_labels.at[idx : idx + n_rows].set(l_np)
+                    if self.mesh is not None:
+                        dev_feats = write_rows(dev_feats, feats[:n_rows], idx)
+                        dev_labels = write_rows(
+                            dev_labels, labels[:n_rows], idx
+                        )
+                    else:
+                        f_np = np.asarray(feats[:n_rows], np.float32)
+                        l_np = np.asarray(labels[:n_rows], np.float32)
+                        dev_feats = dev_feats.at[idx : idx + n_rows].set(f_np)
+                        dev_labels = dev_labels.at[idx : idx + n_rows].set(l_np)
                 idx += n_rows
                 return
             if device_chunks:
@@ -507,11 +553,45 @@ class HbirdEvaluation:
         self.timer.add_items("memory_build", n_imgs)
 
         if device_accum:
-            if not bounded and idx < accum_rows:
+            if self.mesh is not None:
+                # The meshed accumulator is PADDED to even shards; padded
+                # (and unfilled) rows are masked out of search through the
+                # backend's valid_rows instead of sliced off — slicing a
+                # bank-sharded array to an uneven size lets GSPMD pick the
+                # output sharding (worst case fully replicated = O(bank)
+                # per-device HBM).
+                if not bounded and feature_chunks:
+                    # Overflow spill (misconfigured dataset_size): fold the
+                    # host excess into the padding headroom if it fits,
+                    # else fall back to concatenate + re-place (rare,
+                    # correctness over placement).
+                    spill_f = np.concatenate(feature_chunks)
+                    spill_l = np.concatenate(label_chunks)
+                    room = dev_feats.shape[0] - idx
+                    if spill_f.shape[0] <= room:
+                        dev_feats = write_rows(
+                            dev_feats, jnp.asarray(spill_f), idx
+                        )
+                        dev_labels = write_rows(
+                            dev_labels, jnp.asarray(spill_l), idx
+                        )
+                        idx += spill_f.shape[0]
+                    else:
+                        dev_feats = jnp.concatenate(
+                            [jnp.asarray(np.asarray(dev_feats)[:idx]),
+                             jnp.asarray(spill_f)]
+                        )
+                        dev_labels = jnp.concatenate(
+                            [jnp.asarray(np.asarray(dev_labels)[:idx]),
+                             jnp.asarray(spill_l)]
+                        )
+                        idx = dev_feats.shape[0]
+                self._bank_valid_rows = idx
+            elif not bounded and idx < accum_rows:
                 # Loader yielded fewer images than dataset_size promised.
                 dev_feats = dev_feats[:idx]
                 dev_labels = dev_labels[:idx]
-            if not bounded and feature_chunks:
+            if self.mesh is None and not bounded and feature_chunks:
                 # Overflow spill (see consume): fold the host-accumulated
                 # excess back in so no training rows are lost.
                 dev_feats = jnp.concatenate(
@@ -556,6 +636,34 @@ class HbirdEvaluation:
     # ------------------------------------------------------------------
     # Persistence (reference hbird_eval.py:371-400)
     # ------------------------------------------------------------------
+    def _memory_for_save(self, memory):
+        """Persisted banks carry only the real rows: a padded meshed bank
+        is trimmed through a per-chunk host view (saving is host IO
+        anyway; a device-side uneven slice could replicate O(bank))."""
+        valid = self._bank_valid_rows
+        if valid is None or memory is None or memory.shape[0] == valid:
+            return memory
+
+        class _TrimView:
+            __slots__ = ("_a", "shape", "dtype")
+
+            def __init__(self, a, rows):
+                self._a = a
+                self.shape = (rows,) + tuple(a.shape[1:])
+                self.dtype = a.dtype
+
+            def __getitem__(self, s):
+                return self._a[s]
+
+            def __array__(self, dtype=None):
+                # Full host gather THEN trim (flat saves are whole-array
+                # host IO anyway; a device-side uneven slice could
+                # replicate the padded bank per device).
+                out = np.asarray(self._a)[: self.shape[0]]
+                return out if dtype is None else out.astype(dtype)
+
+        return _TrimView(memory, valid)
+
     def _save_memory(self) -> None:
         from hbird_tpu.bank.io import is_tree_path, save_memory
 
@@ -566,10 +674,14 @@ class HbirdEvaluation:
             # is independent and never skipped.
             # save_memory may append '.npy'; keep the real path so a later
             # load_memory() on this instance finds it.
-            self.f_mem_p = save_memory(self.feature_memory, self.f_mem_p)
+            self.f_mem_p = save_memory(
+                self._memory_for_save(self.feature_memory), self.f_mem_p
+            )
             logger.info("Saved feature memory to: %s", self.f_mem_p)
         if self.l_mem_p is not None:
-            self.l_mem_p = save_memory(self.label_memory, self.l_mem_p)
+            self.l_mem_p = save_memory(
+                self._memory_for_save(self.label_memory), self.l_mem_p
+            )
             logger.info("Saved label memory to: %s", self.l_mem_p)
 
     def _save_tree_if_requested(self) -> None:
@@ -705,6 +817,11 @@ class HbirdEvaluation:
         explicit_recall = kwargs.get("recall_target") is not None
         explicit_probe = "num_leaves_to_search" in kwargs
         cls, kwargs = self._nn_cls_kwargs(nn_method, **kwargs)
+        if self._bank_valid_rows is not None:
+            # Meshed device-accumulated bank: feature_memory rows are
+            # padded to even shards; tell the backend the real count so
+            # padding never surfaces as ghost neighbours.
+            kwargs.setdefault("valid_rows", self._bank_valid_rows)
         self.NN_algorithm = cls(
             self.feature_memory,
             n_neighbors=n_neighbours,

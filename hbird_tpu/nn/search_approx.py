@@ -69,8 +69,13 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         query_block: Optional[int] = None,
         bank_block: int = 8192,
         seed: int = 0,
+        valid_rows: Optional[int] = None,
         **kwargs,
     ):
+        # Real row count when feature_memory arrives PRE-PADDED (the
+        # engine's mesh-sharded device accumulation pads to even shards);
+        # None = every row is real.
+        self._injected_valid_rows = valid_rows
         if distance_measure not in ("dot_product", "euclidean", "l2"):
             raise ValueError(f"Unsupported distance measure: {distance_measure}")
         # ScaNN's literal tree() param name (reference search_scann.py:27
@@ -330,6 +335,8 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                     "int8 bank injection requires bank_scale"
                 )
                 bank_s, m = shard_rows(bank_in, mesh)
+                if self._injected_valid_rows is not None:
+                    m = int(self._injected_valid_rows)
             else:
                 bank_f, m = shard_rows(
                     bank_in
@@ -337,6 +344,8 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                     else np.asarray(bank_in, np.float32),
                     mesh,
                 )
+                if self._injected_valid_rows is not None:
+                    m = int(self._injected_valid_rows)
                 bank_f = bank_f.astype(jnp.float32)
                 # Global abs-max over the sharded rows -> replicated scalar.
                 self._bank_scale = (
@@ -353,6 +362,11 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 else np.asarray(bank_in, np.float32),
                 mesh,
             )
+            if self._injected_valid_rows is not None:
+                # Pre-padded engine bank: the padding rows beyond m are
+                # excluded from sampling, assignment, and the layout
+                # (build_ivf_sharded valid_rows) below.
+                m = int(self._injected_valid_rows)
             bank_s = bank_s.astype(store)
         n_leaves, cap = self._tree_geometry(m)
         self._n_leaves, self._cap = n_leaves, cap
@@ -666,12 +680,27 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
             from hbird_tpu.parallel.sharded_knn import shard_bank
 
-            bank = np.asarray(bank_in, dtype=np.float32)
-            if labels is None:
-                labels = np.zeros((bank.shape[0], 1), np.float32)
+            if isinstance(bank_in, jax.Array):
+                # Device-resident (possibly pre-padded) bank: shard_bank's
+                # device path pads + reshards without a host round-trip.
+                if labels is None:
+                    labels = jnp.zeros((bank_in.shape[0], 1), jnp.float32)
+                bank = bank_in.astype(store)
+                labels = (
+                    labels.astype(jnp.float32)
+                    if isinstance(labels, jax.Array)
+                    else jnp.asarray(np.asarray(labels, np.float32))
+                )
+            else:
+                bank = np.asarray(bank_in, dtype=np.float32).astype(store)
+                if labels is None:
+                    labels = np.zeros((bank.shape[0], 1), np.float32)
+                labels = np.asarray(labels, np.float32)
             self.bank, self.labels, self.valid_rows = shard_bank(
-                bank.astype(store), np.asarray(labels, np.float32), self.mesh
+                bank, labels, self.mesh
             )
+            if self._injected_valid_rows is not None:
+                self.valid_rows = int(self._injected_valid_rows)
             return
         self.mesh = None
         if isinstance(bank_in, jax.Array):
@@ -686,6 +715,8 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             else jnp.asarray(np.asarray(labels, np.float32))
         )
         self.valid_rows = self.bank.shape[0]
+        if self._injected_valid_rows is not None:
+            self.valid_rows = int(self._injected_valid_rows)
 
     def calibrate_n_probe(
         self,

@@ -42,8 +42,13 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         bank_block: Optional[int] = None,
         kernel: str = "auto",
         shard_strategy: str = "gather",
+        valid_rows: Optional[int] = None,
         **kwargs,
     ):
+        # Real row count when feature_memory arrives PRE-PADDED (the
+        # engine's mesh-sharded device accumulation pads to even shards);
+        # None = every row is real.
+        self._injected_valid_rows = valid_rows
         # 'gather': replicated queries + per-shard top-k + all_gather merge.
         # 'ring': query-sharded ppermute ring (nothing replicated; see
         # parallel/sharded_knn.ring_knn_with_labels). Only meaningful with
@@ -131,12 +136,32 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         bank_in = self.feature_memory
         labels = self.label_memory
         if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
-            bank = np.asarray(bank_in, dtype=np.float32)
-            if labels is None:
-                labels = np.zeros((bank.shape[0], 1), np.float32)
-            self.bank, self.labels, self.valid_rows = shard_bank(
-                bank.astype(store), np.asarray(labels, np.float32), self.mesh
-            )
+            if isinstance(bank_in, jax.Array):
+                # Device-resident bank (engine mesh accumulation or an
+                # upstream jax computation): pad + place WITHOUT a host
+                # round-trip — shard_bank's device path pads with jnp.pad
+                # and resharding rides the ICI.
+                if labels is None:
+                    labels = jnp.zeros((bank_in.shape[0], 1), jnp.float32)
+                self.bank, self.labels, self.valid_rows = shard_bank(
+                    bank_in.astype(store),
+                    labels.astype(jnp.float32)
+                    if isinstance(labels, jax.Array)
+                    else jnp.asarray(np.asarray(labels, np.float32)),
+                    self.mesh,
+                )
+            else:
+                bank = np.asarray(bank_in, dtype=np.float32)
+                if labels is None:
+                    labels = np.zeros((bank.shape[0], 1), np.float32)
+                self.bank, self.labels, self.valid_rows = shard_bank(
+                    bank.astype(store), np.asarray(labels, np.float32),
+                    self.mesh,
+                )
+            if self._injected_valid_rows is not None:
+                # Pre-padded input: shard_bank counted the padding as
+                # real rows; mask it back out.
+                self.valid_rows = int(self._injected_valid_rows)
             return
         self.mesh = None
         if isinstance(bank_in, jax.Array):

@@ -727,7 +727,10 @@ def build_ivf_sharded(
         assert valid_rows is None or valid_rows == m, (valid_rows, m)
     if labels is None:
         labels = np.zeros((m, 1), np.float32)
-    assert labels.shape[0] == m, (labels.shape, m)
+    # Labels either carry the true row count (shard_rows pads them here)
+    # or arrive PRE-PADDED alongside a pre-sharded bank (the engine's
+    # meshed accumulation pads both to even shards).
+    assert labels.shape[0] in (m, bank_s.shape[0]), (labels.shape, m)
     labels_s, _ = shard_rows(labels, mesh, bank_axis)
     if layout not in ("host", "device"):
         raise ValueError(f"layout must be 'host' or 'device': {layout}")

@@ -42,23 +42,31 @@ def shard_bank(
 
     Returns (bank_sharded, labels_sharded, valid_rows). Rows are zero-padded
     to an equal per-shard size; padded rows are masked out during search.
+
+    Device-resident inputs (jax.Array) pad with jnp.pad and reshard over
+    the ICI — no host round-trip. Host inputs pad in numpy and transfer
+    shard-wise.
     """
     import numpy as np
 
     n_shards = mesh.shape[bank_axis]
     valid = bank.shape[0]
     padded = pad_rows_for_mesh(valid, n_shards)
-    if padded != valid:
-        bank = np.concatenate(
-            [bank, np.zeros((padded - valid, bank.shape[1]), bank.dtype)]
-        )
-        labels = np.concatenate(
-            [labels, np.zeros((padded - valid, labels.shape[1]), labels.dtype)]
-        )
     spec = NamedSharding(mesh, P(bank_axis))
-    bank_s = jax.device_put(bank, spec)
-    labels_s = jax.device_put(labels, spec)
-    return bank_s, labels_s, valid
+
+    def place(arr):
+        if isinstance(arr, jax.Array):
+            if padded != valid:
+                arr = jnp.pad(arr, ((0, padded - valid), (0, 0)))
+            return jax.device_put(arr, spec)
+        arr = np.asarray(arr)
+        if padded != valid:
+            arr = np.concatenate(
+                [arr, np.zeros((padded - valid, arr.shape[1]), arr.dtype)]
+            )
+        return jax.device_put(arr, spec)
+
+    return place(bank), place(labels), valid
 
 
 def sharded_knn_with_labels(
