@@ -358,6 +358,7 @@ def save_tree_state(
     cap: int,
     valid_rows: int,
     bank_scale: Optional[float] = None,
+    row_scale_in_labels: bool = False,
     chunk_rows: int = 262144,
 ) -> str:
     """Write a built tree. `ivf_bank`/`ivf_labels` may be jax arrays
@@ -421,9 +422,13 @@ def save_tree_state(
             "valid_rows": int(valid_rows),
             "n_leaves": int(n_slots // cap),
             "dim": int(dim),
-            "n_classes": int(ivf_labels.shape[1]),
+            # With row_scale_in_labels the LAST label column holds the
+            # per-slot int8 dequant scales (SQ8); n_classes counts only
+            # the real label columns.
+            "n_classes": int(ivf_labels.shape[1]) - int(row_scale_in_labels),
             "bank_dtype": bank_dtype,
             "bank_scale": None if bank_scale is None else float(bank_scale),
+            "row_scale_in_labels": bool(row_scale_in_labels),
         }
         with open(os.path.join(dir_path, TREE_META), "w") as f:
             json.dump(meta, f)
@@ -490,6 +495,13 @@ def load_tree_state(dir_path: str, *, mesh=None, bank_axis: str = "bank"):
 
     ivf_bank = assemble("slabs.bankdir", dtype)
     ivf_labels = assemble("labels.bankdir", jnp.float32)
+    bank_row_scale = None
+    if meta.get("row_scale_in_labels", False):
+        # The last label column carries the per-slot int8 dequant scales
+        # (SQ8); split it back off. Column slicing preserves the row
+        # sharding on meshed loads.
+        bank_row_scale = ivf_labels[:, -1:]
+        ivf_labels = ivf_labels[:, :-1]
     return dict(
         ivf_bank=ivf_bank,
         ivf_labels=ivf_labels,
@@ -500,6 +512,7 @@ def load_tree_state(dir_path: str, *, mesh=None, bank_axis: str = "bank"):
         cap=meta["cap"],
         valid_rows=meta["valid_rows"],
         bank_scale=meta["bank_scale"],
+        bank_row_scale=bank_row_scale,
         n_leaves=meta["n_leaves"],
     )
 

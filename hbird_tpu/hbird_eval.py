@@ -817,10 +817,11 @@ class HbirdEvaluation:
         explicit_recall = kwargs.get("recall_target") is not None
         explicit_probe = "num_leaves_to_search" in kwargs
         cls, kwargs = self._nn_cls_kwargs(nn_method, **kwargs)
-        if self._bank_valid_rows is not None:
+        if getattr(self, "_bank_valid_rows", None) is not None:
             # Meshed device-accumulated bank: feature_memory rows are
             # padded to even shards; tell the backend the real count so
-            # padding never surfaces as ghost neighbours.
+            # padding never surfaces as ghost neighbours. (getattr:
+            # injection paths construct the engine via __new__.)
             kwargs.setdefault("valid_rows", self._bank_valid_rows)
         self.NN_algorithm = cls(
             self.feature_memory,
@@ -1344,8 +1345,14 @@ class HbirdEvaluation:
             # return_reordered=False: the engine (like the reference's
             # evaluate, hbird_eval.py:253) only consumes jac — remapping
             # the ~16M-pixel pred stream would cost seconds for nothing.
+            # Multi-process runs (each process scoring its own val shard)
+            # allgather-sum the confusion matrices first — the working
+            # version of the reference's dormant DDP all_reduce hook
+            # (eval_metrics.py:250-252); every process then computes the
+            # identical global mIoU.
             jac, tp, fp, fn, reordered_preds, matched_bg_clusters = metric.compute(
-                is_global_zero=True, return_reordered=False
+                is_global_zero=True, return_reordered=False,
+                sync_distributed=jax.process_count() > 1,
             )
         if return_knn_details:
             details_out = {

@@ -55,6 +55,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         use_fp16: bool = True,
         use_tree: bool = False,
         use_int8: bool = False,
+        quantization: Optional[str] = None,
         bank_scale: Optional[float] = None,
         tree_slack: float = 1.3,
         probe_mode: str = "auto",
@@ -85,7 +86,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         if (
             anisotropic_quantization_threshold is not None
             or dimensions_per_block is not None
-        ):
+        ) and quantization is None:
             from hbird_tpu.utils.logging import get_logger
 
             # ScaNN's asymmetric-hashing knobs (reference
@@ -99,6 +100,24 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 "analogue (bank storage is bf16, or per-row int8 via "
                 "quantization='int8_rows'); values are ignored."
             )
+        # quantization: explicit int8 storage selector (same contract as
+        # the exact backend): 'int8' = global scale, 'int8_rows' = per-
+        # row scales (SQ8 — the honest core of ScaNN's score_ah:
+        # ordering over DEQUANTIZED dots, per-row resolution kept).
+        self.int8_rows = False
+        if quantization is not None:
+            qz = str(quantization).lower()
+            if qz not in ("int8", "int8_rows"):
+                raise ValueError(
+                    f"quantization must be 'int8' or 'int8_rows': "
+                    f"{quantization!r}"
+                )
+            if distance_measure != "dot_product":
+                raise ValueError(
+                    "int8 quantization requires dot_product scoring"
+                )
+            use_int8 = True
+            self.int8_rows = qz == "int8_rows"
         recall_target_explicit = recall_target is not None
         if recall_target is None:
             frac = num_leaves_to_search / max(1, num_leaves)
@@ -141,13 +160,18 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 "the flat approximate scan (num_leaves/num_leaves_to_search "
                 "map onto a recall target instead)."
             )
-        # int8 leaf scan (tree mode only): global-scale symmetric
-        # quantization, same scheme as the exact backend's use_int8. Pass
-        # `bank_scale` when injecting a pre-quantized int8 bank.
-        self.use_int8 = bool(use_int8) and self.use_tree
+        # int8 scan (tree leaf slabs, or the flat fused path): symmetric
+        # quantization, same schemes as the exact backend's
+        # use_int8/quantization. Pass `bank_scale` when injecting a
+        # pre-quantized int8 bank. Flat int8 requires dot_product (the
+        # flat dot path routes to the fused exact kernel).
+        self.use_int8 = bool(use_int8) and (
+            self.use_tree or distance_measure == "dot_product"
+        )
         self._bank_scale = (
             jnp.float32(bank_scale) if bank_scale is not None else None
         )
+        self._bank_row_scale = None
         self.tree_slack = float(tree_slack)
         # Tree probing granularity (ops/ivf.ivf_search): 'auto' keeps the
         # fast tile shortlist for leaf-coherent query sets (the engine's)
@@ -240,12 +264,16 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             train_centroids,
         )
 
+        row_scale_flat = None
         if self.use_int8:
             store = jnp.int8
             if isinstance(bank_in, jax.Array) and bank_in.dtype == jnp.int8:
                 # Pre-quantized injection: bank_scale must be provided.
                 assert self._bank_scale is not None, (
                     "int8 bank injection requires bank_scale"
+                )
+                assert not self.int8_rows, (
+                    "pre-quantized int8 injection is global-scale only"
                 )
                 bank_s = bank_in
             else:
@@ -254,11 +282,21 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                     if isinstance(bank_in, jax.Array)
                     else jnp.asarray(np.asarray(bank_in, np.float32))
                 )
-                self._bank_scale = (
-                    jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
-                )
+                if self.int8_rows:
+                    row_scale_flat = (
+                        jnp.maximum(
+                            jnp.abs(bank_f).max(axis=1, keepdims=True),
+                            1e-12,
+                        ) / 127.0
+                    ).astype(jnp.float32)
+                    scale = row_scale_flat
+                else:
+                    self._bank_scale = (
+                        jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
+                    )
+                    scale = self._bank_scale
                 bank_s = jnp.clip(
-                    jnp.round(bank_f / self._bank_scale), -127, 127
+                    jnp.round(bank_f / scale), -127, 127
                 ).astype(jnp.int8)
                 del bank_f
         else:
@@ -307,6 +345,15 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         self.bank, self.labels, self.perm = build_ivf_arrays(
             bank_s, labels, slots, n_leaves, cap
         )
+        if row_scale_flat is not None:
+            # Scatter the per-row scales into the same slab layout as
+            # their rows (empty slots keep scale 0 — leaf_valid masks
+            # them before they can score).
+            n_slots = n_leaves * cap
+            ivf_scale = jnp.zeros((n_slots, 1), jnp.float32)
+            self._bank_row_scale = ivf_scale.at[
+                jnp.asarray(slots, jnp.int32)
+            ].set(row_scale_flat)
         # orig row -> leaf slot (for knn-details feature gathers by
         # original id) and per-leaf valid-row counts.
         self.slots = jnp.asarray(slots, jnp.int32)
@@ -328,11 +375,15 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         )
 
         mesh = self.mesh
+        row_scale_sharded = None
         if self.use_int8:
             store = jnp.int8
             if isinstance(bank_in, jax.Array) and bank_in.dtype == jnp.int8:
                 assert self._bank_scale is not None, (
                     "int8 bank injection requires bank_scale"
+                )
+                assert not self.int8_rows, (
+                    "pre-quantized int8 injection is global-scale only"
                 )
                 bank_s, m = shard_rows(bank_in, mesh)
                 if self._injected_valid_rows is not None:
@@ -347,12 +398,26 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 if self._injected_valid_rows is not None:
                     m = int(self._injected_valid_rows)
                 bank_f = bank_f.astype(jnp.float32)
-                # Global abs-max over the sharded rows -> replicated scalar.
-                self._bank_scale = (
-                    jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
-                )
+                if self.int8_rows:
+                    # Per-row scales, row-sharded like the bank; they
+                    # ride the ring scatter as an extra label column so
+                    # each row's scale lands in its leaf slot.
+                    row_scale_sharded = (
+                        jnp.maximum(
+                            jnp.abs(bank_f).max(axis=1, keepdims=True),
+                            1e-12,
+                        ) / 127.0
+                    ).astype(jnp.float32)
+                    scale = row_scale_sharded
+                else:
+                    # Global abs-max over the sharded rows -> replicated
+                    # scalar.
+                    self._bank_scale = (
+                        jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
+                    )
+                    scale = self._bank_scale
                 bank_s = jnp.clip(
-                    jnp.round(bank_f / self._bank_scale), -127, 127
+                    jnp.round(bank_f / scale), -127, 127
                 ).astype(jnp.int8)
                 del bank_f
         else:
@@ -405,6 +470,19 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             )
         if labels is None:
             labels = np.zeros((m, 1), np.float32)
+        if row_scale_sharded is not None:
+            # Append the scales as one extra label column: they ride the
+            # ppermute scatter ring into the slab layout for free and are
+            # split back off below.
+            labels_s, _ = shard_rows(
+                labels
+                if isinstance(labels, jax.Array)
+                else np.asarray(labels, np.float32),
+                mesh,
+            )
+            labels = jnp.concatenate(
+                [labels_s.astype(jnp.float32), row_scale_sharded], axis=1
+            )
         parts = build_ivf_sharded(
             bank_s, labels, self.centroids, n_leaves, cap, mesh,
             valid_rows=m, layout=self.tree_build_layout,
@@ -412,6 +490,9 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         self.centroids = parts["centroids"]
         self.bank = parts["ivf_bank"]
         self.labels = parts["ivf_labels"]
+        if row_scale_sharded is not None:
+            self._bank_row_scale = self.labels[:, -1:]
+            self.labels = self.labels[:, :-1]
         # layout='device' hands back mesh-sharded jax arrays (keep the
         # sharding); 'host' hands back numpy.
         self.perm = (
@@ -439,6 +520,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         valid_rows: int,
         n_neighbors: int = 30,
         bank_scale=None,
+        bank_row_scale=None,
         mesh=None,
         **kwargs,
     ):
@@ -459,12 +541,15 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         kwargs.setdefault("use_int8", ivf_bank.dtype == jnp.int8)
         if kwargs["use_int8"]:
             # Same contract as the flat int8 injection path: without the
-            # quantization scale, scores would silently come out scaled
-            # by the dummy build's garbage _bank_scale.
-            assert bank_scale is not None, (
-                "int8 slab injection requires bank_scale"
+            # quantization scale(s), scores would silently come out
+            # scaled by the dummy build's garbage _bank_scale.
+            assert bank_scale is not None or bank_row_scale is not None, (
+                "int8 slab injection requires bank_scale or bank_row_scale"
             )
-            kwargs.setdefault("bank_scale", bank_scale)
+            if bank_row_scale is not None:
+                kwargs.setdefault("quantization", "int8_rows")
+            else:
+                kwargs.setdefault("bank_scale", bank_scale)
         # Route through __init__ machinery minus the index build: set the
         # config fields via a tiny dummy, then install the real state.
         # The dummy builds with mesh=None — a meshed dummy would run the
@@ -496,7 +581,12 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         self._n_leaves = n_slots // cap
         self._cap = cap
         self.valid_rows = int(valid_rows)
-        if bank_scale is not None:
+        if bank_row_scale is not None:
+            self._bank_row_scale = jnp.asarray(
+                bank_row_scale, jnp.float32
+            ).reshape(-1, 1)
+            self._bank_scale = None
+        elif bank_scale is not None:
             self._bank_scale = jnp.float32(bank_scale)
         return self
 
@@ -535,6 +625,15 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
 
         info = sharded_memory_info(feature_dir)
         is_int8 = _manifest_dtype(info) == np.int8
+        if str(kwargs.get("quantization") or "").lower() == "int8_rows":
+            # Streamed builds never hold the flat rows, so there is no
+            # place to measure per-row scales without an extra full
+            # pass; int8 .bankdirs carry a GLOBAL scale by contract.
+            raise ValueError(
+                "quantization='int8_rows' is not supported for streamed "
+                ".bankdir tree builds — quantize at save time (global "
+                "scale) or build from an in-memory bank."
+            )
         if kwargs.pop("use_int8", False) and not is_int8:
             from hbird_tpu.utils.logging import get_logger
 
@@ -606,10 +705,22 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             if self.use_int8 and self._bank_scale is not None
             else None
         )
+        labels_out = self.labels
+        row_scale_in_labels = (
+            self.use_int8 and self._bank_row_scale is not None
+        )
+        if row_scale_in_labels:
+            # Per-slot scales persist as one extra label column (same
+            # slab layout, same chunked/multi-process write path); split
+            # back off at load (meta flag).
+            labels_out = jnp.concatenate(
+                [self.labels.astype(jnp.float32), self._bank_row_scale],
+                axis=1,
+            )
         return save_tree_state(
             dir_path,
             ivf_bank=self.bank,
-            ivf_labels=self.labels,
+            ivf_labels=labels_out,
             centroids=self.centroids,
             leaf_valid=self.leaf_valid,
             perm=self.perm,
@@ -617,6 +728,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             cap=self._cap,
             valid_rows=self.valid_rows,
             bank_scale=scale,
+            row_scale_in_labels=row_scale_in_labels,
             chunk_rows=chunk_rows,
         )
 
@@ -650,6 +762,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             valid_rows=state["valid_rows"],
             n_neighbors=n_neighbors,
             bank_scale=state["bank_scale"],
+            bank_row_scale=state.get("bank_row_scale"),
             mesh=mesh,
             num_leaves=state["n_leaves"],
             **kwargs,
@@ -659,6 +772,34 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         store = jnp.bfloat16 if self.use_fp16 else jnp.float32
         bank_in = self.feature_memory
         labels = self.label_memory
+        if self.use_int8 and not self.use_tree:
+            # Flat quantized scan: same schemes as the exact backend
+            # (global or per-row symmetric int8); the flat dot path below
+            # routes to the fused kernel which dequantizes row-scaled
+            # scores in its epilogue.
+            bank_f = (
+                bank_in.astype(jnp.float32)
+                if isinstance(bank_in, jax.Array)
+                else jnp.asarray(np.asarray(bank_in, np.float32))
+            )
+            if self.int8_rows:
+                self._bank_row_scale = (
+                    jnp.maximum(
+                        jnp.abs(bank_f).max(axis=1, keepdims=True), 1e-12
+                    ) / 127.0
+                ).astype(jnp.float32)
+                scale = self._bank_row_scale
+            else:
+                self._bank_scale = (
+                    jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
+                )
+                scale = self._bank_scale
+            bank_in = jnp.clip(
+                jnp.round(bank_f / scale), -127, 127
+            ).astype(jnp.int8)
+            self.feature_memory = bank_in
+            store = jnp.int8
+            del bank_f
         if self.use_tree:
             meshed = (
                 self.mesh is not None and self.mesh.shape.get("bank", 1) > 1
@@ -701,6 +842,16 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             )
             if self._injected_valid_rows is not None:
                 self.valid_rows = int(self._injected_valid_rows)
+            if self._bank_row_scale is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rs = self._bank_row_scale
+                pad = self.bank.shape[0] - rs.shape[0]
+                if pad:
+                    rs = jnp.pad(rs, ((0, pad), (0, 0)))
+                self._bank_row_scale = jax.device_put(
+                    rs, NamedSharding(self.mesh, P("bank"))
+                )
             return
         self.mesh = None
         if isinstance(bank_in, jax.Array):
@@ -872,7 +1023,10 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 perm=self.perm,
                 slots=self.slots,
             )
-            if self.use_int8:
+        if self.use_int8:
+            if self._bank_row_scale is not None:
+                state["bank_row_scale"] = self._bank_row_scale
+            else:
                 state["bank_scale"] = self._bank_scale
         return state
 
@@ -912,7 +1066,13 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             ), jnp.int32),
         }
         if self.use_int8:
-            spec["bank_scale"] = jax.ShapeDtypeStruct((), jnp.float32)
+            if self.int8_rows:
+                # Per-slot scales: one per slab row, like the bank.
+                spec["bank_row_scale"] = jax.ShapeDtypeStruct(
+                    (n_slots, 1), jnp.float32
+                )
+            else:
+                spec["bank_scale"] = jax.ShapeDtypeStruct((), jnp.float32)
         return spec
 
     def pin_expected_rows(self, n_rows: int) -> None:
@@ -925,10 +1085,14 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         if not self.use_tree:
             return super().gather_features_pure(state, idx)
         # idx is in ORIGINAL row ids; the stored bank is leaf-ordered.
-        rows = jnp.take(
-            state["bank"], jnp.take(state["slots"], idx, axis=0), axis=0
-        )
-        if rows.dtype == jnp.int8 and "bank_scale" in state:
+        slot_idx = jnp.take(state["slots"], idx, axis=0)
+        rows = jnp.take(state["bank"], slot_idx, axis=0)
+        if rows.dtype == jnp.int8 and "bank_row_scale" in state:
+            # Per-slot scales live in the same slab layout as the rows.
+            rows = rows.astype(jnp.float32) * jnp.take(
+                state["bank_row_scale"], slot_idx, axis=0
+            )
+        elif rows.dtype == jnp.int8 and "bank_scale" in state:
             rows = rows.astype(jnp.float32) * state["bank_scale"]
         return rows
 
@@ -961,6 +1125,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                     kk,
                 )
                 kk = 128
+            row_scale = state.get("bank_row_scale")
             if self.use_int8:
                 q32 = q.astype(jnp.float32)
                 q_scale = jnp.maximum(jnp.abs(q32).max(), 1e-12) / 127.0
@@ -983,9 +1148,14 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                     n_probe=min(self.num_leaves_to_search, self._n_leaves),
                     block_q=self.query_block,
                     shard_probe=self.shard_probe,
+                    row_scale=row_scale,
                 )
                 if self.use_int8:
-                    vals = vals * (state["bank_scale"] * q_scale)
+                    # Row-scaled scores already carry the bank-side scale.
+                    vals = vals * (
+                        q_scale if row_scale is not None
+                        else state["bank_scale"] * q_scale
+                    )
                 idx = jnp.maximum(
                     jnp.take(state["perm"], idx_ivf, axis=0), 0
                 )
@@ -1000,11 +1170,16 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 n_probe=min(self.num_leaves_to_search, self._n_leaves),
                 block_q=self.query_block,
                 probe_mode=self.probe_mode,
+                row_scale=row_scale,
             )
             if self.use_int8:
                 # int32 scores -> approximate dot products (calibrated for
-                # the downstream cross-attention temperature).
-                vals = vals * (state["bank_scale"] * q_scale)
+                # the downstream cross-attention temperature; row-scaled
+                # scores already carry the bank-side scale).
+                vals = vals * (
+                    q_scale if row_scale is not None
+                    else state["bank_scale"] * q_scale
+                )
             if reorder:
                 from hbird_tpu.ops.knn import rerank_exact
 
@@ -1038,8 +1213,17 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 if self.distance_measure == "dot_product"
                 else "l2"
             )
-            return sharded_knn_with_labels(
-                q.astype(bank.dtype),
+            row_scale = state.get("bank_row_scale")
+            if self.use_int8 and bank.dtype == jnp.int8:
+                q32 = q.astype(jnp.float32)
+                q_scale = jnp.maximum(jnp.abs(q32).max(), 1e-12) / 127.0
+                q_cast = jnp.clip(
+                    jnp.round(q32 / q_scale), -127, 127
+                ).astype(jnp.int8)
+            else:
+                q_cast = q.astype(bank.dtype)
+            vals, idx, out_labels = sharded_knn_with_labels(
+                q_cast,
                 bank,
                 labels,
                 k,
@@ -1049,7 +1233,14 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 query_block=self.query_block,
                 bank_block=self.bank_block,
                 kernel="pallas",
+                row_scale=row_scale,
             )
+            if self.use_int8 and bank.dtype == jnp.int8:
+                vals = vals * (
+                    q_scale if row_scale is not None
+                    else state["bank_scale"] * q_scale
+                )
+            return vals, idx, out_labels
         return sharded_knn_with_labels(
             q.astype(bank.dtype),
             bank,

@@ -62,7 +62,13 @@ class NearestNeighborSearchBase(ABC):
 
         src = state.get("rerank_bank", state["bank"])
         rows = jnp.take(src, idx, axis=0)
-        if rows.dtype == jnp.int8 and "bank_scale" in state:
+        if rows.dtype == jnp.int8 and "bank_row_scale" in state:
+            # Per-row scales (int8_rows): gather each neighbour's own
+            # scale alongside its codes.
+            rows = rows.astype(jnp.float32) * jnp.take(
+                state["bank_row_scale"], idx, axis=0
+            )
+        elif rows.dtype == jnp.int8 and "bank_scale" in state:
             rows = rows.astype(jnp.float32) * state["bank_scale"]
         return rows
 

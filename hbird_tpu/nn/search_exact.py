@@ -34,6 +34,7 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         idx_shard: bool = False,
         use_fp16: bool = False,
         use_int8: bool = False,
+        quantization: Optional[str] = None,
         num_reordering_candidates: int = 0,
         devices=None,
         mesh=None,
@@ -56,6 +57,24 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         assert shard_strategy in ("gather", "ring"), shard_strategy
         self.shard_strategy = shard_strategy
         self.use_fp16 = use_fp16
+        # quantization: explicit storage-scheme selector.
+        #   'int8'      — global-scale symmetric int8 (alias of use_int8)
+        #   'int8_rows' — PER-ROW-scale int8 (SQ8, the Faiss
+        #                 ScalarQuantizer analogue / the cheap core of
+        #                 ScaNN's score_ah): each bank row keeps its own
+        #                 scale, dequantized in the kernel epilogue so
+        #                 top-k ordering is over dequantized dots.
+        if quantization is not None:
+            qz = str(quantization).lower()
+            if qz not in ("int8", "int8_rows"):
+                raise ValueError(
+                    f"quantization must be 'int8' or 'int8_rows': "
+                    f"{quantization!r}"
+                )
+            use_int8 = True
+            self.int8_rows = qz == "int8_rows"
+        else:
+            self.int8_rows = False
         self.use_int8 = use_int8
         # ScaNN-style exact re-ordering of quantized-scan candidates
         # (reference search_scann.py:32); only meaningful with use_int8.
@@ -104,17 +123,32 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         else:
             store = jnp.bfloat16 if self.use_fp16 else jnp.float32
         self._bank_scale = None
+        self._bank_row_scale = None
         self.rerank_bank = None
         if self.use_int8:
-            # Global-scale symmetric quantization (the bank analogue of
-            # ScaNN's quantized scoring): ordering of int32 scores equals
-            # ordering of the quantized dot products.
+            # Symmetric int8 quantization. Global scale (default): int32
+            # scores are a positive constant multiple of the quantized
+            # dots, ordering preserved. Per-row scales (int8_rows): each
+            # row i quantizes with s_i = max|b_i|/127 — rows with small
+            # dynamic range keep ~7 bits of resolution instead of losing
+            # them to the bank-wide max — and the kernel multiplies the
+            # int32 scores by s_i in the epilogue.
             bank_f = (
                 self.feature_memory.astype(jnp.float32)
                 if isinstance(self.feature_memory, jax.Array)
                 else jnp.asarray(np.asarray(self.feature_memory, np.float32))
             )
-            self._bank_scale = jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
+            if self.int8_rows:
+                # (M, 1): 2-D so state_spec scales it with the row count.
+                self._bank_row_scale = (
+                    jnp.maximum(
+                        jnp.abs(bank_f).max(axis=1, keepdims=True), 1e-12
+                    ) / 127.0
+                ).astype(jnp.float32)
+            else:
+                self._bank_scale = (
+                    jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
+                )
             if self.num_reordering_candidates > self.n_neighbors:
                 # Full-precision copy for the exact re-ordering pass (bf16:
                 # half the f32 footprint, exact enough for re-scoring).
@@ -130,8 +164,11 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
                         rb = jnp.pad(rb, ((0, padded - rb.shape[0]), (0, 0)))
                     rb = jax.device_put(rb, NamedSharding(self.mesh, P("bank")))
                 self.rerank_bank = rb
+            scale = (
+                self._bank_row_scale if self.int8_rows else self._bank_scale
+            )
             self.feature_memory = jnp.clip(
-                jnp.round(bank_f / self._bank_scale), -127, 127
+                jnp.round(bank_f / scale), -127, 127
             ).astype(jnp.int8)
         bank_in = self.feature_memory
         labels = self.label_memory
@@ -162,6 +199,19 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
                 # Pre-padded input: shard_bank counted the padding as
                 # real rows; mask it back out.
                 self.valid_rows = int(self._injected_valid_rows)
+            if self._bank_row_scale is not None:
+                # Per-row dequant scales shard alongside the bank rows
+                # (padding scales 0: padded rows score 0 and are masked
+                # by valid_rows anyway).
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rs = self._bank_row_scale
+                pad = self.bank.shape[0] - rs.shape[0]
+                if pad:
+                    rs = jnp.pad(rs, ((0, pad), (0, 0)))
+                self._bank_row_scale = jax.device_put(
+                    rs, NamedSharding(self.mesh, P("bank"))
+                )
             return
         self.mesh = None
         if isinstance(bank_in, jax.Array):
@@ -188,6 +238,11 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         state = {"bank": self.bank, "labels": self.labels}
         if self.rerank_bank is not None:
             state["rerank_bank"] = self.rerank_bank
+        if self._bank_row_scale is not None:
+            # (M, 1) per-row dequant scales: VALUE state like bank_scale
+            # (and 2-D, so state_spec scales it with the row count for
+            # AOT compilation against abstract specs).
+            state["bank_row_scale"] = self._bank_row_scale
         if self._bank_scale is not None:
             # The int8 quantization scale is VALUE state, not config: it
             # must travel through the state pytree (a closed-over scalar
@@ -214,6 +269,7 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         labels = state["labels"]
         rerank_bank = state.get("rerank_bank")
         bank_scale = state.get("bank_scale", self._bank_scale)
+        row_scale = state.get("bank_row_scale")
         k = k or self.n_neighbors
         rerank = self.use_int8 and rerank_bank is not None
         if self.use_int8:
@@ -251,9 +307,14 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
                 rerank_bank=rerank_bank if rerank else None,
                 rerank_queries=q.astype(jnp.bfloat16) if rerank else None,
                 rerank_candidates=self.num_reordering_candidates if rerank else 0,
+                row_scale=row_scale,
             )
             if self.use_int8 and not rerank:
-                vals = vals * (bank_scale * q_scale)
+                # Row-scaled scores already carry the bank-side scale.
+                vals = vals * (
+                    q_scale if row_scale is not None
+                    else bank_scale * q_scale
+                )
             return vals, idx, out_labels
         vals, idx, out_labels = sharded_knn_with_labels(
             q_cast,
@@ -269,12 +330,16 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
             rerank_bank=rerank_bank if rerank else None,
             rerank_queries=q.astype(jnp.bfloat16) if rerank else None,
             rerank_candidates=self.num_reordering_candidates if rerank else 0,
+            row_scale=row_scale,
         )
         if self.use_int8 and not rerank:
             # Rescale int32 scores back to (approximate) dot products so
             # downstream cross-attention temperatures stay calibrated.
-            # (Reranked scores are already exact bf16 dot products.)
-            vals = vals * (bank_scale * q_scale)
+            # (Reranked scores are already exact bf16 dot products; row-
+            # scaled scores already carry the bank-side scale.)
+            vals = vals * (
+                q_scale if row_scale is not None else bank_scale * q_scale
+            )
         return vals, idx, out_labels
 
     def find_nearest_neighbors(

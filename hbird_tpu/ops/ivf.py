@@ -365,6 +365,7 @@ def ivf_search(
     kernel: str = "auto",
     interpret: Optional[bool] = None,
     probe_mode: str = "tile",
+    row_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full IVF search: (group) -> probe -> scan -> (ungroup).
 
@@ -435,7 +436,7 @@ def ivf_search(
         return ivf_search_per_query(
             queries, ivf_bank, centroids, leaf_valid, k,
             cap=cap, n_probe=n_probe, block_q=block_q, kernel=kernel,
-            interpret=interpret,
+            interpret=interpret, row_scale=row_scale,
         )
     assert probe_mode == "tile", probe_mode
     q_n = queries.shape[0]
@@ -460,10 +461,12 @@ def ivf_search(
         vals, idx = pallas_ivf_knn(
             queries, ivf_bank, lids, leaf_valid, k,
             cap=cap, block_q=block_q, interpret=interpret,
+            row_scale=row_scale,
         )
     else:
         vals, idx = ivf_search_xla(
-            queries, ivf_bank, lids, leaf_valid, k, cap=cap
+            queries, ivf_bank, lids, leaf_valid, k, cap=cap,
+            row_scale=row_scale,
         )
     vals, idx = vals[:q_n], idx[:q_n]
     if inv is not None:
@@ -483,6 +486,7 @@ def ivf_search_per_query(
     block_q: int = 128,
     kernel: str = "auto",
     interpret: Optional[bool] = None,
+    row_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-query probing: every query scans exactly ITS top-`n_probe`
     leaves (ScaNN leaves_to_search semantics, reference
@@ -565,10 +569,12 @@ def ivf_search_per_query(
         vals, idx = pallas_ivf_knn(
             q_grouped, ivf_bank, lids, leaf_valid, kk,
             cap=cap, block_q=block_q, interpret=interpret,
+            row_scale=row_scale,
         )
     else:
         vals, idx = ivf_search_xla(
-            q_grouped, ivf_bank, lids, leaf_valid, kk, cap=cap
+            q_grouped, ivf_bank, lids, leaf_valid, kk, cap=cap,
+            row_scale=row_scale,
         )
 
     # ---- regather per query, dedup, final top-k (device, static shapes).
@@ -614,6 +620,7 @@ def ivf_search_xla(
     k: int,
     *,
     cap: int,
+    row_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Reference XLA path: gather the probed leaf slabs, one fused
     score+top_k per query tile. Same math as the Pallas kernel (f32
@@ -625,6 +632,9 @@ def ivf_search_xla(
     block_q = q_n // tiles
     n_slabs = ivf_bank.shape[0] // cap
     bank3 = ivf_bank.reshape(n_slabs, cap, d)
+    scale3 = (
+        row_scale.reshape(n_slabs, cap) if row_scale is not None else None
+    )
     int8_in = queries.dtype == jnp.int8
     col_local = jax.lax.broadcasted_iota(jnp.int32, (n_probe, cap), 1)
 
@@ -636,6 +646,8 @@ def ivf_search_xla(
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32 if int8_in else jnp.float32,
         ).astype(jnp.float32)
+        if scale3 is not None:
+            s = s * scale3[lids].reshape(-1)[None, :]
         valid = leaf_valid[lids]  # (L,)
         mask = (col_local < valid[:, None]).reshape(-1)
         s = jnp.where(mask[None, :], s, NEG_INF)
@@ -654,16 +666,26 @@ def _ivf_kernel(
     leaf_valid_ref,  # SMEM (n_slabs,) int32 — real rows per slab
     q_ref,  # (BLOCK_Q, D)
     bank_ref,  # (CAP, D) — the slab picked by the index_map
-    vals_out_ref,  # (BLOCK_Q, K_PAD)
-    idx_out_ref,  # (BLOCK_Q, K_PAD)
-    vals_ref,  # scratch (BLOCK_Q, K_PAD) f32
-    idx_ref,  # scratch (BLOCK_Q, K_PAD) i32
-    s_ref,  # scratch (BLOCK_Q, CAP) f32
-    *,
+    *refs,  # [scale_ref (1, CAP) if row_scale] + outputs + scratch
     k_pad: int,
     cap: int,
     n_probe: int,
+    row_scale: bool = False,
 ):
+    if row_scale:
+        # (1, CAP) f32 — per-row dequant scales of THIS slab (SQ8):
+        # applied in the epilogue so ordering is over dequantized dots
+        # (same mechanism as the flat kernel's row_scale).
+        scale_ref, *refs = refs
+    else:
+        scale_ref = None
+    (
+        vals_out_ref,  # (BLOCK_Q, K_PAD)
+        idx_out_ref,  # (BLOCK_Q, K_PAD)
+        vals_ref,  # scratch (BLOCK_Q, K_PAD) f32
+        idx_ref,  # scratch (BLOCK_Q, K_PAD) i32
+        s_ref,  # scratch (BLOCK_Q, CAP) f32
+    ) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -684,6 +706,8 @@ def _ivf_kernel(
     )
     if int8_inputs:
         s = s.astype(jnp.float32)
+    if row_scale:
+        s = s * scale_ref[...]
     s_ref[...] = jnp.where(col < leaf_valid_ref[slab], s, NEG_INF)
 
     _carry_merge(s_ref, vals_ref, idx_ref, base=base, k_pad=k_pad)
@@ -709,6 +733,7 @@ def pallas_ivf_knn(
     block_q: int = 256,
     sorted_results: bool = True,
     interpret: Optional[bool] = None,
+    row_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused probed-leaf top-k: per query tile, scan only the `n_probe`
     leaf slabs named in `leaf_ids` (dynamic bank tiles via scalar-prefetch
@@ -734,12 +759,28 @@ def pallas_ivf_knn(
         interpret = jax.default_backend() != "tpu"
     k_pad = max(8, _round_up(k, 8))
 
+    extra_inputs = []
+    extra_specs = []
+    if row_scale is not None:
+        assert ivf_bank.dtype == jnp.int8, "row_scale requires an int8 bank"
+        row_scale = row_scale.reshape(-1)
+        assert row_scale.shape[0] == ivf_bank.shape[0], (
+            row_scale.shape, ivf_bank.shape,
+        )
+        extra_inputs.append(
+            row_scale.astype(jnp.float32).reshape(1, -1)
+        )
+        extra_specs.append(
+            pl.BlockSpec((1, cap), lambda i, j, lids, lvalid: (0, lids[i, j]))
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles, n_probe),
         in_specs=[
             pl.BlockSpec((block_q, d), lambda i, j, lids, lvalid: (i, 0)),
             pl.BlockSpec((cap, d), lambda i, j, lids, lvalid: (lids[i, j], 0)),
+            *extra_specs,
         ],
         out_specs=[
             pl.BlockSpec((block_q, k_pad), lambda i, j, *_: (i, 0)),
@@ -752,7 +793,8 @@ def pallas_ivf_knn(
         ],
     )
     kernel = functools.partial(
-        _ivf_kernel, k_pad=k_pad, cap=cap, n_probe=n_probe
+        _ivf_kernel, k_pad=k_pad, cap=cap, n_probe=n_probe,
+        row_scale=row_scale is not None,
     )
     itemsize = jnp.dtype(queries.dtype).itemsize
     vmem_bytes = (
@@ -777,7 +819,8 @@ def pallas_ivf_knn(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(leaf_ids, jnp.asarray(leaf_valid, jnp.int32), queries, ivf_bank)
+    )(leaf_ids, jnp.asarray(leaf_valid, jnp.int32), queries, ivf_bank,
+      *extra_inputs)
 
     if sorted_results or k != k_pad:
         svals, sel = jax.lax.top_k(vals, k)

@@ -247,11 +247,20 @@ def _knn_kernel(
     merge_mode: str,
     n_buckets: int,
     l2: bool = False,
+    row_scale: bool = False,
 ):
     if l2:
         bias_ref, *refs = refs  # (1, BLOCK_M) f32 — precomputed ||b||²/2
     else:
         bias_ref = None
+    if row_scale:
+        # (1, BLOCK_M) f32 — per-bank-row dequantization scales (SQ8:
+        # each int8 row carries its own scale, the cheap core of ScaNN's
+        # asymmetric hashing, reference search_scann.py:29-30). Applied
+        # in the epilogue so ORDERING reflects dequantized dot products.
+        scale_ref, *refs = refs
+    else:
+        scale_ref = None
     (
         vals_out_ref,  # (BLOCK_Q, K_PAD)
         idx_out_ref,  # (BLOCK_Q, K_PAD)
@@ -287,6 +296,11 @@ def _knn_kernel(
         # preserved; convert once for the f32 merge (|s| <= 127*127*D
         # stays well inside f32's exact-integer range for D <= 1024).
         s = s.astype(jnp.float32)
+    if row_scale:
+        # Per-row scales change the ordering (that is the point): one
+        # VPU multiply fused onto the matmul epilogue, same cost class
+        # as the l2 bias subtract.
+        s = s * scale_ref[...]
     if l2:
         # Expanded-norm L2 (Faiss GpuIndexFlatL2 parity, reference
         # search_faiss.py:38-44): argmin ||q-b||² == argmax q·b - ||b||²/2,
@@ -481,6 +495,7 @@ def pallas_knn(
     merge_mode: Optional[str] = None,
     n_buckets: int = 32,
     distance: str = "dot_product",
+    row_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k search, fused in one Pallas kernel.
 
@@ -499,6 +514,12 @@ def pallas_knn(
             (expanded-norm: score = q·b − ||b||²/2, ordering-equal to
             ascending squared L2 — Faiss GpuIndexFlatL2 parity). int8
             banks are dot_product-only.
+        row_scale: optional (M,) or (M, 1) f32 per-bank-row dequant
+            scales for int8 banks (SQ8 / per-row symmetric quantization):
+            scores become (q_int · b_int) * row_scale[i], applied in the
+            kernel epilogue so the top-k ORDERING is over dequantized
+            dots. The caller multiplies the returned values by its query
+            scale to recover approximate true dot products.
 
     Returns:
         (values, indices): (Q, k) f32 scores and int32 global row ids.
@@ -513,7 +534,7 @@ def pallas_knn(
         valid_rows=valid_rows, block_q=block_q, block_m=block_m,
         merge_chunk=merge_chunk, sorted_results=sorted_results,
         interpret=interpret, merge_mode=merge_mode, n_buckets=n_buckets,
-        distance=distance,
+        distance=distance, row_scale=row_scale,
     )
 
 
@@ -538,6 +559,7 @@ def _pallas_knn_jit(
     merge_mode: str = "carry",
     n_buckets: int = 32,
     distance: str = "dot_product",
+    row_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     q_n, d = queries.shape
     m, d2 = bank.shape
@@ -547,6 +569,11 @@ def _pallas_knn_jit(
     l2 = distance in ("l2", "euclidean")
     if l2:
         assert bank.dtype != jnp.int8, "l2 requires a float bank"
+        assert row_scale is None, "row_scale is int8/dot_product-only"
+    if row_scale is not None:
+        assert bank.dtype == jnp.int8, "row_scale requires an int8 bank"
+        row_scale = row_scale.reshape(-1)
+        assert row_scale.shape[0] == m, (row_scale.shape, m)
     if interpret is None:
         # Mosaic only compiles on TPU; interpret transparently elsewhere
         # (CPU tests, multichip dry-runs on virtual devices).
@@ -579,6 +606,18 @@ def _pallas_knn_jit(
         bank32 = bank.astype(jnp.float32)
         bias = (0.5 * jnp.sum(bank32 * bank32, axis=-1)).reshape(1, m_pad)
         extra_inputs.append(bias)
+        extra_specs.append(
+            pl.BlockSpec((1, block_m), lambda i, j, *_: (0, j))
+        )
+    if row_scale is not None:
+        # Streamed like the l2 bias: (1, block_m) f32 per bank tile.
+        # Padding scales are 0 (padded rows score 0 and are masked by
+        # valid_rows anyway).
+        if m_pad != m:
+            row_scale = jnp.pad(row_scale, (0, m_pad - m))
+        extra_inputs.append(
+            row_scale.astype(jnp.float32).reshape(1, m_pad)
+        )
         extra_specs.append(
             pl.BlockSpec((1, block_m), lambda i, j, *_: (0, j))
         )
@@ -634,6 +673,7 @@ def _pallas_knn_jit(
         merge_mode=merge_mode,
         n_buckets=n_buckets,
         l2=l2,
+        row_scale=row_scale is not None,
     )
     itemsize = jnp.dtype(queries.dtype).itemsize
     vmem_bytes = (

@@ -66,8 +66,12 @@ def sharded_ivf_knn_with_labels(
     kernel: str = "auto",
     interpret: Optional[bool] = None,
     shard_probe: str = "split",
+    row_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Tree search over a leaf-sharded mesh.
+
+    row_scale: optional (n_leaves*cap,) or (n_slots, 1) f32 per-slot
+    dequant scales for an int8 slab bank (SQ8), sharded like ivf_bank.
 
     Args:
         queries: (Q, D), replicated.
@@ -118,20 +122,23 @@ def sharded_ivf_knn_with_labels(
         # distort the last tile's leaf shortlist.
         queries = jnp.pad(queries, ((0, q_pad - q_n), (0, 0)), mode="edge")
 
-    def local_search(q, bank_l, labels_l, cent, lv):
+    def local_search(q, bank_l, labels_l, cent, lv, *extra):
         i = jax.lax.axis_index(bank_axis)
         cent_l = jax.lax.dynamic_slice(
             cent, (i * local_leaves, 0), (local_leaves, d)
         )
         lv_l = jax.lax.dynamic_slice(lv, (i * local_leaves,), (local_leaves,))
+        rs_l = extra[0].reshape(-1) if extra else None
         lids = select_block_leaves(q, cent_l, l_p, block_q)
         if kernel == "pallas":
             vals_l, idx_l = pallas_ivf_knn(
                 q, bank_l, lids, lv_l, k, cap=cap, block_q=block_q,
-                interpret=interpret,
+                interpret=interpret, row_scale=rs_l,
             )
         else:
-            vals_l, idx_l = ivf_search_xla(q, bank_l, lids, lv_l, k, cap=cap)
+            vals_l, idx_l = ivf_search_xla(
+                q, bank_l, lids, lv_l, k, cap=cap, row_scale=rs_l
+            )
         start = (i * local_slots).astype(jnp.int32)
         gidx_l = idx_l + start
 
@@ -153,16 +160,21 @@ def sharded_ivf_knn_with_labels(
         merged_labels = jax.lax.psum(contrib, bank_axis)
         return merged_vals, merged_idx, merged_labels
 
+    in_specs = [P(None, None), P(bank_axis), P(bank_axis), P(None, None),
+                P(None)]
+    args = [queries, ivf_bank, ivf_labels, centroids,
+            jnp.asarray(leaf_valid, jnp.int32)]
+    if row_scale is not None:
+        in_specs.append(P(bank_axis))
+        args.append(row_scale.reshape(-1))
     fn = jax.shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(None, None), P(bank_axis), P(bank_axis), P(None, None),
-                  P(None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    vals, idx, labels = fn(queries, ivf_bank, ivf_labels, centroids,
-                           jnp.asarray(leaf_valid, jnp.int32))
+    vals, idx, labels = fn(*args)
     vals, idx, labels = vals[:q_n], idx[:q_n], labels[:q_n]
     if inv is not None:
         vals, idx, labels = vals[inv], idx[inv], labels[inv]

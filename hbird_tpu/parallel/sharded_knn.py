@@ -87,6 +87,7 @@ def sharded_knn_with_labels(
     rerank_bank: Optional[jax.Array] = None,
     rerank_queries: Optional[jax.Array] = None,
     rerank_candidates: int = 0,
+    row_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Top-k search + label gather, single-device or mesh-sharded.
 
@@ -102,6 +103,8 @@ def sharded_knn_with_labels(
             possibly quantized) bank, then re-score those candidates with
             the full-precision rerank_bank and rerank_queries before taking
             the final k. Runs per shard, before the merge.
+        row_scale: optional (M,) or (M, 1) f32 per-row dequant scales for
+            an int8 bank (SQ8), sharded like the bank; pallas kernel only.
 
     Returns:
         values: (Q, k) dot-product scores, globally merged, descending.
@@ -127,21 +130,30 @@ def sharded_knn_with_labels(
             )
         from hbird_tpu.ops.knn_pallas import pallas_knn
 
-        def search(q, b, k_, valid_rows, **_):
+        def search(q, b, k_, valid_rows, row_scale_l=None, **_):
             return pallas_knn(
                 q, b, k_, valid_rows=valid_rows,
                 block_q=query_block, block_m=bank_block,
-                distance=distance,
+                distance=distance, row_scale=row_scale_l,
             )
 
         search_kwargs = {}
     else:
-        search = approx_knn if approx else exact_knn
+        assert row_scale is None, (
+            "row_scale (per-row int8) requires the pallas kernel"
+        )
+
+        def search(q, b, k_, valid_rows, row_scale_l=None, **kw):
+            fn = approx_knn if approx else exact_knn
+            return fn(q, b, k_, valid_rows=valid_rows, **kw)
+
         search_kwargs = dict(
             distance=distance, query_block=query_block, bank_block=bank_block
         )
         if approx:
             search_kwargs["recall_target"] = recall_target
+    if row_scale is not None:
+        row_scale = row_scale.reshape(-1)
 
     # A shard can hold fewer valid rows than the candidate count; first-pass
     # filler candidates (score -inf) must not be re-scored as real rows.
@@ -162,14 +174,17 @@ def sharded_knn_with_labels(
         if do_rerank:
             cvals, cand = search(
                 queries, bank, rerank_candidates, valid_rows=valid_rows,
-                **search_kwargs,
+                row_scale_l=row_scale, **search_kwargs,
             )
             vals, idx = rerank_exact(
                 rerank_queries, rerank_bank, cand, k,
                 cand_valid=_cand_valid(cvals, cand, valid_rows),
             )
         else:
-            vals, idx = search(queries, bank, k, valid_rows=valid_rows, **search_kwargs)
+            vals, idx = search(
+                queries, bank, k, valid_rows=valid_rows,
+                row_scale_l=row_scale, **search_kwargs,
+            )
         return vals, idx, jnp.take(labels, idx, axis=0)
 
     n_shards = mesh.shape[bank_axis]
@@ -180,15 +195,17 @@ def sharded_knn_with_labels(
     # all be on the full-precision scale).
     local_c = max(k, min(rerank_candidates, shard_rows)) if do_rerank else 0
 
-    def local_search(q, bank_l, labels_l, valid_total, *rerank_args):
+    def local_search(q, bank_l, labels_l, valid_total, *extra_args):
         i = jax.lax.axis_index(bank_axis)
         start = (i * shard_rows).astype(jnp.int32)
         local_valid = jnp.clip(valid_total[0] - start, 0, shard_rows)
+        extra = list(extra_args)
+        rs_l = extra.pop(0) if row_scale is not None else None
         if do_rerank:
-            q_r, rbank_l = rerank_args
+            q_r, rbank_l = extra
             cvals, cand = search(
                 q, bank_l, local_c, valid_rows=local_valid,
-                **search_kwargs,
+                row_scale_l=rs_l, **search_kwargs,
             )
             vals_l, idx_l = rerank_exact(
                 q_r, rbank_l, cand, k,
@@ -196,7 +213,8 @@ def sharded_knn_with_labels(
             )
         else:
             vals_l, idx_l = search(
-                q, bank_l, k, valid_rows=local_valid, **search_kwargs
+                q, bank_l, k, valid_rows=local_valid,
+                row_scale_l=rs_l, **search_kwargs,
             )
         gidx_l = idx_l + start
 
@@ -223,6 +241,9 @@ def sharded_knn_with_labels(
         P(),  # valid rows scalar
     ]
     args = [queries, bank, labels, valid_rows.reshape(1)]
+    if row_scale is not None:
+        in_specs.append(P(bank_axis))
+        args.append(row_scale)
     if do_rerank:
         in_specs += [P(None, None), P(bank_axis)]
         args += [rerank_queries, rerank_bank]
@@ -254,6 +275,7 @@ def ring_knn_with_labels(
     rerank_bank: Optional[jax.Array] = None,
     rerank_queries: Optional[jax.Array] = None,
     rerank_candidates: int = 0,
+    row_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Query-sharded ring search: nothing is replicated across the mesh.
 
@@ -325,30 +347,40 @@ def ring_knn_with_labels(
             )
         from hbird_tpu.ops.knn_pallas import pallas_knn
 
-        def search(q, b, k_, valid_rows):
+        def search(q, b, k_, valid_rows, rs=None):
             # l2 bias (||b||²/2) is recomputed per ring hop from the
             # resident shard — one cheap fused pass per hop.
             return pallas_knn(
                 q, b, k_, valid_rows=valid_rows,
                 block_q=query_block, block_m=bank_block,
-                distance=distance,
+                distance=distance, row_scale=rs,
             )
     else:
-        def search(q, b, k_, valid_rows):
+        assert row_scale is None, (
+            "row_scale (per-row int8) requires the pallas kernel"
+        )
+
+        def search(q, b, k_, valid_rows, rs=None):
             return exact_knn(
                 q, b, k_, distance=distance, valid_rows=valid_rows,
                 query_block=query_block, bank_block=bank_block,
             )
+    if row_scale is not None:
+        row_scale = row_scale.reshape(-1)
 
     perm = [(d, (d + 1) % n) for d in range(n)]
 
-    def local(q, bank_l, labels_l, valid_total, *rerank_args):
+    def local(q, bank_l, labels_l, valid_total, *extra_args):
         i = jax.lax.axis_index(bank_axis)
         start = (i * shard_rows).astype(jnp.int32)
         local_valid = jnp.clip(valid_total[0] - start, 0, shard_rows)
         nc = labels_l.shape[1]
+        extra = list(extra_args)
+        # Resident per-shard dequant scales (never rotated: the bank
+        # stays home, so do its scales).
+        rs_l = extra.pop(0) if row_scale is not None else None
         if do_rerank:
-            q_r0, rbank_l = rerank_args
+            q_r0, rbank_l = extra
         else:
             q_r0, rbank_l = q[:, :0], None  # zero-width placeholder travels free
 
@@ -357,13 +389,13 @@ def ring_knn_with_labels(
             if do_rerank:
                 from hbird_tpu.ops.knn import rerank_exact
 
-                cvals, cand = search(q_c, bank_l, local_c, local_valid)
+                cvals, cand = search(q_c, bank_l, local_c, local_valid, rs_l)
                 cand_ok = jnp.isfinite(cvals) & (cand < local_valid)
                 b_vals, b_idx = rerank_exact(
                     q_r, rbank_l, cand, k, cand_valid=cand_ok
                 )
             else:
-                b_vals, b_idx = search(q_c, bank_l, k, local_valid)
+                b_vals, b_idx = search(q_c, bank_l, k, local_valid, rs_l)
             vals, idx = _merge_topk(vals, idx, b_vals, b_idx + start, k)
             q_c = jax.lax.ppermute(q_c, bank_axis, perm)
             q_r = jax.lax.ppermute(q_r, bank_axis, perm)
@@ -399,6 +431,9 @@ def ring_knn_with_labels(
 
     in_specs = [P(parts), P(bank_axis), P(bank_axis), P()]
     args = [queries, bank, labels, valid_rows.reshape(1)]
+    if row_scale is not None:
+        in_specs.append(P(bank_axis))
+        args.append(row_scale)
     if do_rerank:
         in_specs += [P(parts), P(bank_axis)]
         args += [rerank_queries, rerank_bank]

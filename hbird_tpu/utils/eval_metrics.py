@@ -251,16 +251,20 @@ class PredsmIoU:
         Defaults mirror the reference call site
         (hbird/hbird_eval.py:253 -> Hungarian matching).
         """
-        if not is_global_zero:
-            return 0.0, [], [], [], [], 0.0
-
         if sync_distributed and jax.process_count() > 1:
+            # COLLECTIVE: must run on every process (the reference's
+            # dormant DDP hook, eval_metrics.py:250-252, all_reduces the
+            # confusion matrix before rank gating for the same reason) —
+            # so it sits BEFORE the is_global_zero early return.
             from jax.experimental import multihost_utils
 
             summed = multihost_utils.process_allgather(
                 jnp.asarray(self._conf_mat, jnp.int64)
             ).sum(axis=0)
             self._conf_mat = np.asarray(summed, np.int64)
+
+        if not is_global_zero:
+            return 0.0, [], [], [], [], 0.0
 
         if linear_probe:
             mapping = None

@@ -106,6 +106,9 @@ configs = [
          bank, n_neighbors=K, use_fp16=False, num_reordering_candidates=120)),
     ("int8 (no rerank)",
      lambda: NearestNeighborSearchExact(bank, n_neighbors=K, use_int8=True)),
+    ("int8_rows / SQ8 (no rerank)",
+     lambda: NearestNeighborSearchExact(
+         bank, n_neighbors=K, quantization="int8_rows")),
     ("int8 + rerank120",
      lambda: NearestNeighborSearchExact(
          bank, n_neighbors=K, use_int8=True, num_reordering_candidates=120)),

@@ -1383,9 +1383,9 @@ class TestPerQueryShapeBucketing:
         seen = []
         real = ivf_mod.ivf_search_xla
 
-        def spy(q, bank, lids, lv, k, *, cap):
+        def spy(q, bank, lids, lv, k, *, cap, **kw):
             seen.append((q.shape[0], lids.shape[0]))
-            return real(q, bank, lids, lv, k, cap=cap)
+            return real(q, bank, lids, lv, k, cap=cap, **kw)
 
         monkeypatch.setattr(ivf_mod, "ivf_search_xla", spy)
         rng = np.random.default_rng(0)
