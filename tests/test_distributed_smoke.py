@@ -330,6 +330,121 @@ print(f"RING4_{pid}_OK", flush=True)
 """
 
 
+ENGINE_WORKER = r"""
+import os, sys
+import random
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); coord = sys.argv[3]
+root = sys.argv[4]; val_fs = sys.argv[5]
+
+if nproc > 1:
+    from hbird_tpu.parallel import distributed as D
+    D.initialize(coordinator_address=coord, num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+
+# Identical augmentation stream across the single- and multi-process runs
+# (train transforms draw from the stdlib global RNG) -> identical banks.
+random.seed(1234)
+np.random.seed(1234)
+
+from hbird_tpu import hbird_evaluation
+
+PATCH = 4
+
+def oracle_fn(model, imgs):
+    b, c, h, w = imgs.shape
+    s = h // PATCH
+    x = imgs.reshape(b, c, s, PATCH, s, PATCH).mean(axis=(3, 5))
+    return x.transpose(0, 2, 3, 1).reshape(b, s * s, c), None
+
+miou = hbird_evaluation(
+    model=None, ftr_extr_fn=oracle_fn, d_model=3, patch_size=PATCH,
+    dataset_name="voc", data_dir=root, batch_size=2, input_size=32,
+    augmentation_epoch=1, n_neighbours=5, nn_method="exact",
+    num_workers=0, val_fs_path=val_fs,
+)
+print(f"ENGINE_{pid}_MIOU={float(miou):.12f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_engine_e2e(tmp_path):
+    """`hbird_evaluation` ITSELF runs across 2 coordinator-connected
+    processes (VERDICT r4 item 2): each process builds the (identical)
+    memory bank from the full train split, evaluates its OWN half of the
+    val split, and `PredsmIoU.compute(sync_distributed=True)` allgather-
+    sums the confusion matrices — the working version of the reference's
+    dormant DDP all_reduce hook (eval_metrics.py:250-252) at the engine
+    level. Both ranks must report mIoU EQUAL to a single-process run over
+    the full val split (conf-mats are integer counts and per-image
+    predictions are batch-independent, so equality is exact)."""
+    from hbird_tpu.data.synthetic import make_voc_fixture
+
+    root = str(tmp_path / "voc")
+    make_voc_fixture(
+        root, n_train=12, n_val=6, size=(64, 48), colorize=True, seed=3,
+        class_pool=[1, 2, 3, 4, 5],
+    )
+    nproc = 2
+    val_ids = [f"val_{i:04d}" for i in range(6)]
+    fs_paths = []
+    for pid in range(nproc):
+        p = tmp_path / f"val_shard_{pid}.txt"
+        p.write_text("\n".join(val_ids[pid::nproc]))
+        fs_paths.append(str(p))
+    full_fs = tmp_path / "val_full.txt"
+    full_fs.write_text("\n".join(val_ids))
+
+    script = tmp_path / "engine_worker.py"
+    script.write_text(ENGINE_WORKER)
+
+    def run(pid, nproc, coord, val_fs):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        return subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(nproc), coord, root,
+             val_fs],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+
+    # Single-process oracle over the full val split.
+    p = run(0, 1, "unused", str(full_fs))
+    out, _ = p.communicate(timeout=420)
+    assert p.returncode == 0, f"single-process oracle failed:\n{out[-3000:]}"
+    oracle = [l for l in out.splitlines() if l.startswith("ENGINE_0_MIOU=")]
+    assert oracle, out[-2000:]
+    oracle_miou = float(oracle[0].split("=")[1])
+
+    # Two coordinator-connected processes, each scoring its val shard.
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    procs = [run(pid, nproc, coord, fs_paths[pid]) for pid in range(nproc)]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((pid, p.returncode, out))
+    for pid, rc, out in outs:
+        assert rc == 0, f"engine worker {pid} failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines()
+                if l.startswith(f"ENGINE_{pid}_MIOU=")]
+        assert line, out[-2000:]
+        got = float(line[0].split("=")[1])
+        assert got == pytest.approx(oracle_miou, abs=1e-9), (
+            pid, got, oracle_miou,
+        )
+
+
 @pytest.mark.slow
 def test_four_process_ring_and_device_tree(tmp_path):
     """4 coordinator-connected processes x 2 virtual devices = an 8-device
