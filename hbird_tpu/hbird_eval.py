@@ -750,7 +750,6 @@ class HbirdEvaluation:
 
             if (
                 (self.nn_method == "ivf" or self.nn_params.get("use_tree"))
-                and self.mesh is None
                 and is_sharded_path(self.f_mem_p)
                 and is_sharded_path(self.l_mem_p)
             ):
@@ -758,13 +757,17 @@ class HbirdEvaluation:
                 # disk windows (ops/ivf.build_tree_streamed) — the flat
                 # bank never exists in host RAM or HBM (at 10M+ rows it
                 # cannot coexist with the slab layout on a 16 GB chip).
+                # With a mesh each window scatters to its owning shard,
+                # so >single-shard banks stream straight onto the mesh.
                 _, kwargs = self._nn_cls_kwargs("ivf", **self.nn_params)
                 kwargs.pop("use_tree", None)
                 kwargs.pop("use_fp16", None)
+                kwargs.pop("mesh", None)
                 self.NN_algorithm = NearestNeighborSearchApprox.from_bankdir(
                     self.f_mem_p,
                     self.l_mem_p,
                     n_neighbors=self.n_neighbours,
+                    mesh=self.mesh,
                     **kwargs,
                 )
                 self.feature_memory = None

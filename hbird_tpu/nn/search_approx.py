@@ -605,12 +605,17 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         tree_sample_rows: int = 131072,
         seed: int = 0,
         bank_scale=None,
+        mesh=None,
         **kwargs,
     ):
         """Build the tree backend straight from on-disk .bankdir banks via
         the streamed three-pass build (ops/ivf.build_tree_streamed) —
         banks larger than host RAM or too large to coexist with their
         slab layout on one chip never materialize flat anywhere.
+
+        With `mesh`, each disk window scatters straight to its owning
+        shard (leaf-sharded slabs over the 'bank' axis), so banks larger
+        than any single shard's HBM stream directly onto the mesh.
 
         int8 .bankdirs require `bank_scale` (the global symmetric scale
         the rows were quantized with). Float .bankdirs are cast to the
@@ -663,6 +668,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             refine_rounds=tree_refine_rounds,
             sample_rows=tree_sample_rows,
             seed=seed,
+            mesh=mesh,
         )
         return cls.from_tree_state(
             parts["ivf_bank"],
@@ -675,8 +681,11 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             valid_rows=parts["valid_rows"],
             n_neighbors=n_neighbors,
             bank_scale=bank_scale,
-            num_leaves=num_leaves,
+            # the meshed build may round the leaf count up to the mesh
+            # axis size; parts carries the real geometry
+            num_leaves=parts["n_leaves"],
             tree_slack=tree_slack,
+            mesh=mesh,
             **kwargs,
         )
 

@@ -853,6 +853,8 @@ def build_tree_streamed(
     refine_rounds: int = 2,
     sample_rows: int = 131072,
     seed: int = 0,
+    mesh=None,
+    bank_axis: str = "bank",
 ):
     """Build IVF arrays from a re-iterable block stream.
 
@@ -864,11 +866,29 @@ def build_tree_streamed(
             iterations (seeded generators, bankdir windows, memmaps).
         n_rows: total rows across the stream.
         num_leaves / slack: tree geometry (tree_layout).
+        mesh: optional jax Mesh — the slabs are built ROW-SHARDED over
+            `bank_axis` (leaf-aligned: n_leaves is rounded up to a
+            multiple of the axis size so every shard owns whole leaves),
+            each window scattered straight to its owning shard under a
+            donated shard_map. Neither the flat bank nor the slab layout
+            ever materializes on a single device or on the host, so
+            >single-shard banks stream straight onto the mesh.
 
     Returns dict(ivf_bank, ivf_labels (device), centroids, perm (np),
         slots (np), leaf_fill (np), cap, n_leaves, valid_rows).
     """
+    meshed = mesh is not None and mesh.shape.get(bank_axis, 1) > 1
+    if meshed:
+        p = mesh.shape[bank_axis]
+        # Whole leaves per shard (the meshed tree's layout invariant —
+        # same rule as bank/io.load_tree_state).
+        num_leaves = ((num_leaves + p - 1) // p) * p
     n_leaves, cap = tree_layout(n_rows, num_leaves, slack=slack)
+    if meshed and n_leaves % p != 0:
+        raise ValueError(
+            f"streamed meshed build: {n_rows} rows yields {n_leaves} "
+            f"leaves, not divisible by the mesh {bank_axis!r} axis ({p})"
+        )
     n_slots = n_leaves * cap
 
     # Pass 1: subsample -> centroids. The SAME draw as the flat build
@@ -924,7 +944,37 @@ def build_tree_streamed(
     assert pos == n_rows, (pos, n_rows)
     slots, fill = balanced_layout(choices, n_leaves, cap, scores=cscores)
 
-    # Pass 3: donated per-block scatter into the slabs.
+    # Pass 3: donated per-block scatter into the slabs. With a mesh the
+    # slabs live row-sharded over `bank_axis` from the first window:
+    # each shard drops rows outside its slot range (scatter mode='drop'),
+    # so a window's rows land only on their owning devices and no device
+    # (or the host) ever holds the full slab.
+    if meshed:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard_spec = NamedSharding(mesh, P(bank_axis))
+        n_local = n_slots // p
+
+        def _meshed_scatter_f(bank, rows, sl):
+            i = jax.lax.axis_index(bank_axis)
+            loc = sl - i * n_local
+            loc = jnp.where((loc >= 0) & (loc < n_local), loc, n_local)
+            return bank.at[loc].set(rows.astype(bank.dtype), mode="drop")
+
+        meshed_scatter = jax.jit(
+            jax.shard_map(
+                _meshed_scatter_f, mesh=mesh,
+                in_specs=(P(bank_axis), P(), P()),
+                out_specs=P(bank_axis), check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
+
+        def _sharded_zeros(shape, dtype):
+            return jax.jit(
+                lambda: jnp.zeros(shape, dtype), out_shardings=shard_spec
+            )()
+
     ivf_bank = None
     ivf_labels = None
     pos = 0
@@ -932,20 +982,32 @@ def build_tree_streamed(
         n = rows.shape[0]
         rows_j = rows if isinstance(rows, jax.Array) else jnp.asarray(np.asarray(rows))
         if ivf_bank is None:
-            ivf_bank = jnp.zeros((n_slots, rows_j.shape[1]), rows_j.dtype)
+            if meshed:
+                ivf_bank = _sharded_zeros((n_slots, rows_j.shape[1]), rows_j.dtype)
+            else:
+                ivf_bank = jnp.zeros((n_slots, rows_j.shape[1]), rows_j.dtype)
         sl = jnp.asarray(slots[pos:pos + n], jnp.int32)
-        ivf_bank = _scatter_rows(ivf_bank, rows_j, sl)
+        scatter = meshed_scatter if meshed else _scatter_rows
+        ivf_bank = scatter(ivf_bank, rows_j, sl)
         if labs is not None:
             labs_j = (
                 labs if isinstance(labs, jax.Array)
                 else jnp.asarray(np.asarray(labs, np.float32))
             ).astype(jnp.float32)
             if ivf_labels is None:
-                ivf_labels = jnp.zeros((n_slots, labs_j.shape[1]), jnp.float32)
-            ivf_labels = _scatter_rows(ivf_labels, labs_j, sl)
+                if meshed:
+                    ivf_labels = _sharded_zeros(
+                        (n_slots, labs_j.shape[1]), jnp.float32
+                    )
+                else:
+                    ivf_labels = jnp.zeros((n_slots, labs_j.shape[1]), jnp.float32)
+            ivf_labels = scatter(ivf_labels, labs_j, sl)
         pos += n
     if ivf_labels is None:
-        ivf_labels = jnp.zeros((n_slots, 1), jnp.float32)
+        ivf_labels = (
+            _sharded_zeros((n_slots, 1), jnp.float32)
+            if meshed else jnp.zeros((n_slots, 1), jnp.float32)
+        )
 
     perm = np.full((n_slots,), -1, np.int32)
     perm[slots] = np.arange(n_rows, dtype=np.int32)
