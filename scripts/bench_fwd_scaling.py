@@ -28,6 +28,14 @@ def main() -> None:
     ap.add_argument("--preset", default="dinov2_vitb14")
     ap.add_argument("--batches", type=int, nargs="*", default=[16, 32, 64])
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--attention-impl", default="xla",
+                    choices=["xla", "flash", "chunked"],
+                    help="chunked = lax.scan over query blocks (the "
+                         "VERDICT r4 item-7 mechanism: live logits slice "
+                         "(B,H,chunk,N) instead of (B,H,N,N))")
+    ap.add_argument("--chunk-q", type=int, default=256)
+    ap.add_argument("--dtypes", nargs="*",
+                    default=["float32", "bfloat16"])
     args = ap.parse_args()
 
     import jax
@@ -53,11 +61,15 @@ def main() -> None:
     flops_img = vit.config.depth * (per_tok_layer * n_tok + attn)
 
     rng = np.random.default_rng(0)
-    for dtype in ("float32", "bfloat16"):
+    for dtype in args.dtypes:
         # Compute dtype is a CONFIG property (matmuls in compute_dtype,
         # layernorm/softmax kept f32) — casting inputs alone does nothing.
         vit = ViT(
-            dataclasses.replace(base.config, compute_dtype=getattr(jnp, dtype))
+            dataclasses.replace(
+                base.config, compute_dtype=getattr(jnp, dtype),
+                attention_impl=args.attention_impl,
+                attention_chunk_q=args.chunk_q,
+            )
         )
         p = params
 
@@ -80,7 +92,7 @@ def main() -> None:
                 float(np.asarray(out[:1, :1, :1]).sum())
                 best = min(best, time.time() - t1)
             print(
-                f"[{dtype} b={b:3d}] {best*1e3:8.1f} ms/batch -> "
+                f"[{dtype}/{args.attention_impl} b={b:3d}] {best*1e3:8.1f} ms/batch -> "
                 f"{b/best:7.1f} img/s ({b*flops_img/best/1e12:6.1f} "
                 f"TFLOP/s effective; first call {compile_s:.1f}s)",
                 flush=True,

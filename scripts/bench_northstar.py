@@ -54,6 +54,22 @@ def main():
                          "the index from this .treedir (timed). On this "
                          "dev host the reload is tunnel-bound (~15 MB/s "
                          "uploads); on a real host it is NVMe+PCIe-bound.")
+    ap.add_argument("--probe-mode", default="tile",
+                    choices=["tile", "query", "auto"],
+                    help="IVF probing granularity through the ENGINE "
+                         "(VERDICT r4 item 6: probe_mode=query flags the "
+                         "backend non-jittable, so the engine eval step "
+                         "runs eagerly — this measures what that costs).")
+    ap.add_argument("--miou-delta", action="store_true",
+                    help="VERDICT r4 item 3: measure the LABEL-TRANSFER "
+                         "mIoU cost of probing n_probe leaves vs the "
+                         "full-probe oracle on the SAME bank (full probe "
+                         "IS exact search: leaf_valid masks pad slots). "
+                         "Bank labels are cluster-correlated (75%% of the "
+                         "mass on center_id %% C), queries are perturbed "
+                         "bank rows with known classes, predictions run "
+                         "through the engine's beta=0.02 softmax "
+                         "aggregation (core.attention).")
     args = ap.parse_args()
     if args.save_index:
         assert args.nn_method == "ivf", "--save-index requires --nn-method ivf"
@@ -85,6 +101,7 @@ def main():
         nn_params = dict(
             use_int8=True, bank_scale=scale, num_leaves=args.num_leaves,
             num_leaves_to_search=args.n_probe, tree_slack=args.tree_slack,
+            probe_mode=args.probe_mode,
         )
     else:
         nn_params = {} if args.no_int8 else {"use_int8": True}
@@ -148,8 +165,21 @@ def main():
 
     @jax.jit
     def make_label_slab(sub, n_static=slab_rows):
-        u = jax.random.uniform(sub, (n_static, args.num_classes), jnp.float32)
-        return u / jnp.sum(u, axis=1, keepdims=True)
+        # Cluster-correlated soft labels: 75% of the mass on the source
+        # center's class (center_id % C), 25% uniform noise — mimics
+        # patch soft labels (patches of one class cluster in feature
+        # space) and makes the --miou-delta measurement meaningful;
+        # uniform-random labels would score identical garbage under
+        # every backend. Same shape/cost as the old uniform draw.
+        kc, _ = jax.random.split(sub)
+        ids = jax.random.randint(kc, (n_static,), 0, n_centers)
+        onehot = jax.nn.one_hot(ids % args.num_classes, args.num_classes)
+        u = jax.random.uniform(
+            jax.random.fold_in(sub, 7), (n_static, args.num_classes),
+            jnp.float32,
+        )
+        u = u / jnp.sum(u, axis=1, keepdims=True)
+        return 0.75 * onehot + 0.25 * u
 
     if args.load_index:
         # The PRODUCT restore path: engine load_memory() -> load_tree with
@@ -185,7 +215,10 @@ def main():
                 n = min(slab_rows, args.bank_rows - i)
                 yield (
                     make_slab(sub)[:n],
-                    make_label_slab(jax.random.fold_in(sub, 7))[:n],
+                    # same `sub` as make_slab: the label slab re-derives
+                    # the SAME center ids (split(sub)[0]) for its class
+                    # mass; the uniform part folds in its own subkey
+                    make_label_slab(sub)[:n],
                 )
 
         parts = build_tree_streamed(
@@ -200,7 +233,7 @@ def main():
             bank_scale=scale if use_int8 else None,
             num_leaves=args.num_leaves,
             num_leaves_to_search=args.n_probe, tree_slack=args.tree_slack,
-            use_int8=use_int8,
+            use_int8=use_int8, probe_mode=args.probe_mode,
         )
         ev.NN_algorithm = nn
         ev.feature_memory = None
@@ -308,6 +341,65 @@ def main():
         jax.block_until_ready(nn.bank)
         print(f"bank + index ready ({time.time()-t0:.1f}s, "
               f"{bank.nbytes/1e9:.1f} GB on chip)", flush=True)
+
+    if args.miou_delta:
+        assert args.nn_method == "ivf", "--miou-delta requires --nn-method ivf"
+        # Label-transfer mIoU on the SAME bank: probe n_probe leaves vs
+        # probing ALL leaves (the exact-search oracle — leaf_valid masks
+        # pad slots, so a full probe scans every valid row). Queries are
+        # perturbed bank rows whose true class is known (the bank's
+        # labels put 75% of their mass on center_id % C), predictions
+        # run through the engine's own beta=0.02 softmax aggregation, so
+        # the delta is exactly what IVF probing costs the metric.
+        from hbird_tpu.core.attention import cross_attention_from_scores
+
+        t_m = time.time()
+        r13 = np.random.default_rng(13)
+        n_q = 16 * (args.input_size // 14) ** 2
+        kc0, _ = jax.random.split(slab_keys[0])
+        ids0 = np.asarray(
+            jax.random.randint(kc0, (slab_rows,), 0, n_centers)
+        )[:n_q]
+        gt = (ids0 % args.num_classes).astype(np.int64)
+        rows_q = np.asarray(make_slab(slab_keys[0])[:n_q], np.float32)
+        if use_int8:
+            rows_q = rows_q * scale  # dequantize to unit-norm scale
+        qs_d = rows_q + 0.05 * r13.normal(size=rows_q.shape).astype(np.float32)
+        q_f = jnp.asarray(qs_d, jnp.float32)
+        q_norm = jnp.linalg.norm(q_f, axis=1)
+
+        def transfer_pred(n_probe):
+            old = nn.num_leaves_to_search
+            nn.num_leaves_to_search = int(n_probe)
+            try:
+                vals, _, labs = nn.search_with_labels(q_f, args.k)
+            finally:
+                nn.num_leaves_to_search = old
+            agg = cross_attention_from_scores(
+                vals[None].astype(jnp.float32), q_norm[None], labs[None]
+            )
+            return np.asarray(jnp.argmax(agg[0], axis=1))
+
+        def patch_miou(pred):
+            ious = []
+            for c in range(args.num_classes):
+                tp = float(((pred == c) & (gt == c)).sum())
+                fp = float(((pred == c) & (gt != c)).sum())
+                fn = float(((pred != c) & (gt == c)).sum())
+                ious.append(tp / max(tp + fp + fn, 1.0))
+            return float(np.mean(ious))
+
+        n_leaves_t = nn._n_leaves
+        m_probe = patch_miou(transfer_pred(min(args.n_probe, n_leaves_t)))
+        m_full = patch_miou(transfer_pred(n_leaves_t))
+        print(
+            f"MIOU DELTA at {args.bank_rows:,} rows (label transfer, "
+            f"{n_q} queries, k={args.k}): probe {args.n_probe}/"
+            f"{n_leaves_t} mIoU={m_probe:.4f} vs full-probe (exact) "
+            f"mIoU={m_full:.4f} -> |delta|={abs(m_full - m_probe):.4f} "
+            f"({time.time()-t_m:.1f}s)",
+            flush=True,
+        )
 
     def val_loader():
         r = np.random.default_rng(3)

@@ -275,6 +275,55 @@ class TestAttnLogitsDtype:
         assert cos(fast, oracle) >= cos(slow, oracle) - 1e-3
 
 
+class TestChunkedAttention:
+    """attention_impl='chunked' (lax.scan over query blocks): the full
+    (B, H, N, N) logits tensor never exists. f32 output must equal the
+    xla path exactly (same math, per-block); also exercises a chunk that
+    does NOT divide the sequence (padded query rows sliced off)."""
+
+    def _run(self, impl, dtype=jnp.float32, chunk_q=256):
+        import dataclasses
+
+        cfg = ViTConfig(
+            patch_size=4, width=32, depth=2, num_heads=2, img_size=16,
+            compute_dtype=dtype, attention_impl=impl,
+            attention_chunk_q=chunk_q,
+        )
+        vit = ViT(cfg)
+        params = ViT(dataclasses.replace(
+            cfg, compute_dtype=jnp.float32, attention_impl="xla"
+        )).init(jax.random.PRNGKey(0))
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(size=(2, 3, 16, 16)),
+            jnp.float32,
+        )
+        return np.asarray(
+            vit.apply(params, x)["x_norm_patchtokens"], np.float32
+        )
+
+    def test_f32_matches_xla(self):
+        # seq = 17 tokens (16 patches + cls); chunk 8 pads to 24.
+        a = self._run("xla")
+        b = self._run("chunked", chunk_q=8)
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    def test_chunk_larger_than_seq(self):
+        a = self._run("xla")
+        b = self._run("chunked", chunk_q=256)
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    def test_bf16_close_to_oracle(self):
+        oracle = self._run("xla", jnp.float32)
+        b = self._run("chunked", jnp.bfloat16, chunk_q=8)
+
+        def cos(u, v):
+            return float(
+                (u * v).sum() / (np.linalg.norm(u) * np.linalg.norm(v))
+            )
+
+        assert cos(b, oracle) > 0.999, cos(b, oracle)
+
+
 class TestQKVFeatures:
     def test_layer0_v_matches_torch(self):
         """v-features of block 0 == Linear_v(LN(conv-embed + pos))."""
