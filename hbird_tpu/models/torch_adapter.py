@@ -57,10 +57,36 @@ def _extract_tokens(out) -> Any:
     raise TypeError(f"Could not locate a token tensor in {type(out)!r}")
 
 
+def _minmax_np(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    """Min-max normalize the last dim (reference hbird/models.py:44-53)."""
+    mins = x.min(axis=-1, keepdims=True)
+    maxs = x.max(axis=-1, keepdims=True)
+    return (x - mins) / np.maximum(maxs - mins, eps)
+
+
+def _cls_attention(out, model, x, return_attn: bool) -> Optional[np.ndarray]:
+    """Mean-head CLS->patch attention, min-max normalized (the reference's
+    HF path, models.py:219-231). Sources, in order: HF ModelOutput
+    `.attentions` (free when the forward already produced them), DINO
+    hub's `get_last_selfattention` (a second forward — only when
+    `return_attn` asked for it explicitly)."""
+    att = None
+    atts = getattr(out, "attentions", None)
+    if atts:
+        att = atts[-1]  # (B, heads, N, N), CLS at 0
+    elif return_attn and hasattr(model, "get_last_selfattention"):
+        att = model.get_last_selfattention(x)
+    if att is None:
+        return None
+    cls_to_patches = att[:, :, 0, 1:].mean(dim=1)
+    return _minmax_np(cls_to_patches.detach().float().cpu().numpy())
+
+
 def make_torch_ftr_extr_fn(
     device: str = "cpu",
     use_amp: bool = False,
     forward: Optional[Callable] = None,
+    return_attn: bool = False,
 ) -> Callable:
     """Build an `ftr_extr_fn(torch_model, imgs) -> (B, N, D) numpy`.
 
@@ -75,18 +101,51 @@ def make_torch_ftr_extr_fn(
             models.py:188-192; CUDA/CPU-bf16 only).
         forward: optional override `forward(model, torch_imgs) -> output`
             (e.g. `lambda m, x: m.get_intermediate_layers(x)[0]`).
+        return_attn: also return mean-head CLS->patch attention (min-max
+            normalized, reference models.py:219-231). HF models that
+            accept `output_attentions` give it within the one forward;
+            DINO-hub models pay a second forward via
+            `get_last_selfattention`. Off by default — the engine never
+            consumes attention (reference hbird_eval.py drops it too).
     """
     import torch
 
     def fn(model, imgs):
         # explicit copy: jax arrays view as read-only numpy, torch rejects
         x = torch.from_numpy(np.array(imgs, dtype=np.float32)).to(device)
+
+        def run():
+            if forward:
+                return forward(model, x)
+            if return_attn:
+                # Recent transformers default to SDPA kernels, which
+                # cannot capture attention probs (output_attentions comes
+                # back None with a warning) — flip to eager once.
+                impl = getattr(
+                    getattr(model, "config", None), "_attn_implementation",
+                    None,
+                )
+                if impl not in (None, "eager") and hasattr(
+                    model, "set_attn_implementation"
+                ):
+                    try:
+                        model.set_attn_implementation("eager")
+                    except Exception:  # pragma: no cover - exotic models
+                        pass
+                # HF-style kwargs; non-HF modules reject them -> plain call
+                try:
+                    return model(x, output_attentions=True, return_dict=True)
+                except TypeError:
+                    pass
+            return model(x)
+
         with torch.inference_mode():
             if use_amp and device != "cpu":
                 with torch.autocast(device_type=device.split(":")[0]):
-                    out = forward(model, x) if forward else model(x)
+                    out = run()
             else:
-                out = forward(model, x) if forward else model(x)
+                out = run()
+            attn = _cls_attention(out, model, x, return_attn) if return_attn else None
         tokens, patch_only = _extract_tokens(out)
         tokens = tokens.detach().float().cpu().numpy()
         if tokens.ndim != 3:
@@ -94,7 +153,7 @@ def make_torch_ftr_extr_fn(
         n = tokens.shape[1]
         if not patch_only and n > 1 and math.isqrt(n - 1) ** 2 == n - 1:
             tokens = tokens[:, 1:, :]  # leading CLS token
-        return tokens, None
+        return tokens, attn
 
     return fn
 
@@ -106,6 +165,7 @@ def wrap_torch_backbone(
     device: str = "cpu",
     use_amp: bool = False,
     forward: Optional[Callable] = None,
+    return_attn: bool = False,
 ) -> FeatureExtractorSimple:
     """Wrap a live torch.nn.Module for the evaluation engine.
 
@@ -129,7 +189,8 @@ def wrap_torch_backbone(
     return FeatureExtractorSimple(
         module,
         ftr_extr_fn=make_torch_ftr_extr_fn(
-            device=device, use_amp=use_amp, forward=forward
+            device=device, use_amp=use_amp, forward=forward,
+            return_attn=return_attn,
         ),
         eval_spatial_resolution=eval_spatial_resolution,
         d_model=d_model,

@@ -136,6 +136,54 @@ class TestTorchBackboneEndToEnd:
         tokens, _ = fn(DictNet(), imgs)
         assert tokens.shape == (2, S * S, 8)  # patch-only: nothing dropped
 
+    def test_adapter_hf_attention_maps(self):
+        """return_attn=True: mean-head CLS->patch attention, min-max
+        normalized (reference models.py:219-231 HF path) — rows span
+        [0, 1] and the tokens are unchanged vs the no-attn call."""
+        hf = _small_hf_vit().eval()
+        imgs = np.random.default_rng(1).normal(
+            size=(2, 3, INPUT, INPUT)
+        ).astype(np.float32)
+        tokens0, _ = make_torch_ftr_extr_fn()(hf, imgs)
+        tokens, attn = make_torch_ftr_extr_fn(return_attn=True)(hf, imgs)
+        np.testing.assert_allclose(tokens, tokens0, atol=1e-6)
+        assert attn is not None and attn.shape == (2, S * S)
+        assert attn.min() >= 0.0 and attn.max() <= 1.0 + 1e-6
+        # min-max: every row touches both 0 and 1
+        np.testing.assert_allclose(attn.min(axis=1), 0.0, atol=1e-6)
+        np.testing.assert_allclose(attn.max(axis=1), 1.0, atol=1e-6)
+
+    def test_adapter_attention_none_for_plain_module(self):
+        """Non-HF modules without get_last_selfattention: attn stays None
+        (the TypeError fallback keeps the plain forward working)."""
+        fn = make_torch_ftr_extr_fn(return_attn=True)
+        imgs = np.random.default_rng(2).normal(
+            size=(2, 3, INPUT, INPUT)
+        ).astype(np.float32)
+        tokens, attn = fn(_PatchColorNet(), imgs)
+        assert tokens.shape == (2, S * S, 3)
+        assert attn is None
+
+    def test_adapter_dino_style_get_last_selfattention(self):
+        """DINO-hub style: a module exposing get_last_selfattention pays
+        a second forward for the map when return_attn=True."""
+
+        class DinoStyle(torch.nn.Module):
+            def forward(self, x):
+                b = x.shape[0]
+                return torch.ones(b, S * S + 1, 8)
+
+            def get_last_selfattention(self, x):
+                b = x.shape[0]
+                torch.manual_seed(3)
+                return torch.rand(b, 2, S * S + 1, S * S + 1)
+
+        tokens, attn = make_torch_ftr_extr_fn(return_attn=True)(
+            DinoStyle(), np.zeros((2, 3, INPUT, INPUT), np.float32)
+        )
+        assert tokens.shape == (2, S * S, 8)  # CLS dropped
+        assert attn is not None and attn.shape == (2, S * S)
+
     def test_adapter_freezes_module(self):
         net = _small_hf_vit()
         wrap_torch_backbone(net, eval_spatial_resolution=S, d_model=32)
