@@ -12,10 +12,24 @@ Queries are a half/half mix of bank-like vectors (bank row + noise) and
 free gaussians — retrieval-like and adversarial regimes together.
 """
 
+import argparse
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+ap = argparse.ArgumentParser()
+ap.add_argument(
+    "--hetero", action="store_true",
+    help="Scale each bank row by a lognormal factor (sigma=1: norms span "
+         "~2 orders of magnitude) instead of unit norms. The engine "
+         "L2-normalizes rows it banks itself (hbird_eval.py:368), so the "
+         "default unit-norm geometry is ITS regime — but injected banks "
+         "(torch checkpoints, --f-mem-p loads) need not be normalized, "
+         "and there a single global int8 scale starves small-norm rows "
+         "of resolution while quantization='int8_rows' keeps per-row "
+         "precision. This mode measures exactly that split.")
+args = ap.parse_args()
 
 import numpy as np
 import jax
@@ -37,6 +51,9 @@ print("device:", jax.devices(), flush=True)
 rng = np.random.default_rng(0)
 bank = rng.normal(size=(M, D)).astype(np.float32)
 bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+if args.hetero:
+    row_scale = rng.lognormal(mean=0.0, sigma=1.0, size=(M, 1)).astype(np.float32)
+    bank *= row_scale
 q_free = rng.normal(size=(QN // 2, D)).astype(np.float32)
 src = rng.integers(0, M, size=QN - QN // 2)
 q_like = bank[src] + 0.3 * rng.normal(size=(QN - QN // 2, D)).astype(np.float32)
@@ -45,7 +62,8 @@ rng.shuffle(queries)
 
 import os
 
-_cache = "/tmp/bench_backends_oracle_v1.npz"
+_cache = ("/tmp/bench_backends_oracle_hetero_v1.npz" if args.hetero
+          else "/tmp/bench_backends_oracle_v1.npz")
 if os.path.exists(_cache):
     z = np.load(_cache)
     oracle_idx, oracle_top1 = z["idx"], z["top1"]
@@ -120,6 +138,13 @@ configs = [
      lambda: NearestNeighborSearchApprox(
          bank, n_neighbors=K, use_tree=True)),
 ]
+
+if args.hetero:
+    # The quantization split is the question here; skip the tree row
+    # (clustered-geometry recall lives in bench_ivf.py either way).
+    keep = ("exact bf16 (pallas)", "int8 (no rerank)",
+            "int8_rows / SQ8 (no rerank)", "int8 + rerank120")
+    configs = [c for c in configs if c[0] in keep]
 
 for tag, make in configs:
     try:
