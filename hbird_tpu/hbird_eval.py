@@ -436,7 +436,14 @@ class HbirdEvaluation:
                 # its own device — no full-size single-device transient.
                 n_shards = self.mesh.shape.get("bank", 1)
                 alloc_rows = pad_rows_for_mesh(accum_rows, n_shards)
-                bank_spec = NamedSharding(self.mesh, P("bank"))
+                # Meshes WITHOUT a bank axis (pure data-parallel eval)
+                # keep the bank replicated — P("bank") over a missing
+                # axis raises. Padding still applies (block alignment);
+                # the backend masks it via valid_rows.
+                bank_spec = NamedSharding(
+                    self.mesh,
+                    P("bank" if "bank" in self.mesh.axis_names else None),
+                )
             dev_feats = jnp.zeros(
                 (alloc_rows, self.feature_extractor.d_model),
                 jnp.float32, device=bank_spec,

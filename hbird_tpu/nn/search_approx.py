@@ -128,15 +128,18 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         self.num_reordering_candidates = num_reordering_candidates
         if (
             not use_tree
+            and not use_int8
             and distance_measure == "dot_product"
             and (num_reordering_candidates > 0 or recall_target_explicit)
         ):
             from hbird_tpu.utils.logging import get_logger
 
-            # The flat dot-product path routes to the exact fused kernel
-            # (faster than every approximate full scan measured on v5e),
-            # which makes these tuning knobs inert — say so rather than
-            # silently ignoring explicitly-passed parameters.
+            # The flat full-precision dot path routes to the exact fused
+            # kernel (faster than every approximate full scan measured on
+            # v5e), which makes these tuning knobs inert — say so rather
+            # than silently ignoring explicitly-passed parameters. (A
+            # quantized flat scan — use_int8 — is approximate and DOES
+            # honor num_reordering_candidates, so no warning there.)
             get_logger(__name__).info(
                 "Flat dot-product 'scann' routes to the exact kernel "
                 "(recall 1.0); num_reordering_candidates/recall_target "
@@ -264,6 +267,19 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             train_centroids,
         )
 
+        if (
+            self._injected_valid_rows is not None
+            and self._injected_valid_rows < bank_in.shape[0]
+        ):
+            # Engine banks arrive PRE-PADDED (pad_rows_for_mesh block-
+            # aligns the accumulator even without a >1 bank axis);
+            # clustering the zero padding rows into leaves would count
+            # them in leaf_valid and surface them as score-0 ghost
+            # neighbours with all-zero labels.
+            bank_in = bank_in[: self._injected_valid_rows]
+            if labels is not None:
+                labels = labels[: self._injected_valid_rows]
+
         row_scale_flat = None
         if self.use_int8:
             store = jnp.int8
@@ -277,27 +293,20 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 )
                 bank_s = bank_in
             else:
+                from hbird_tpu.ops.quantize import quantize_bank_int8
+
                 bank_f = (
                     bank_in.astype(jnp.float32)
                     if isinstance(bank_in, jax.Array)
                     else jnp.asarray(np.asarray(bank_in, np.float32))
                 )
+                bank_s, scale = quantize_bank_int8(
+                    bank_f, per_row=self.int8_rows
+                )
                 if self.int8_rows:
-                    row_scale_flat = (
-                        jnp.maximum(
-                            jnp.abs(bank_f).max(axis=1, keepdims=True),
-                            1e-12,
-                        ) / 127.0
-                    ).astype(jnp.float32)
-                    scale = row_scale_flat
+                    row_scale_flat = scale
                 else:
-                    self._bank_scale = (
-                        jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
-                    )
-                    scale = self._bank_scale
-                bank_s = jnp.clip(
-                    jnp.round(bank_f / scale), -127, 127
-                ).astype(jnp.int8)
+                    self._bank_scale = scale
                 del bank_f
         else:
             # Store dtype straight away — a full f32 copy of a multi-GB
@@ -397,28 +406,21 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 )
                 if self._injected_valid_rows is not None:
                     m = int(self._injected_valid_rows)
+                from hbird_tpu.ops.quantize import quantize_bank_int8
+
                 bank_f = bank_f.astype(jnp.float32)
+                bank_s, scale = quantize_bank_int8(
+                    bank_f, per_row=self.int8_rows
+                )
                 if self.int8_rows:
                     # Per-row scales, row-sharded like the bank; they
                     # ride the ring scatter as an extra label column so
                     # each row's scale lands in its leaf slot.
-                    row_scale_sharded = (
-                        jnp.maximum(
-                            jnp.abs(bank_f).max(axis=1, keepdims=True),
-                            1e-12,
-                        ) / 127.0
-                    ).astype(jnp.float32)
-                    scale = row_scale_sharded
+                    row_scale_sharded = scale
                 else:
                     # Global abs-max over the sharded rows -> replicated
                     # scalar.
-                    self._bank_scale = (
-                        jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
-                    )
-                    scale = self._bank_scale
-                bank_s = jnp.clip(
-                    jnp.round(bank_f / scale), -127, 127
-                ).astype(jnp.int8)
+                    self._bank_scale = scale
                 del bank_f
         else:
             bank_s, m = shard_rows(
@@ -781,34 +783,46 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         store = jnp.bfloat16 if self.use_fp16 else jnp.float32
         bank_in = self.feature_memory
         labels = self.label_memory
+        self.rerank_bank = None
         if self.use_int8 and not self.use_tree:
             # Flat quantized scan: same schemes as the exact backend
             # (global or per-row symmetric int8); the flat dot path below
             # routes to the fused kernel which dequantizes row-scaled
             # scores in its epilogue.
-            bank_f = (
-                bank_in.astype(jnp.float32)
-                if isinstance(bank_in, jax.Array)
-                else jnp.asarray(np.asarray(bank_in, np.float32))
-            )
-            if self.int8_rows:
-                self._bank_row_scale = (
-                    jnp.maximum(
-                        jnp.abs(bank_f).max(axis=1, keepdims=True), 1e-12
-                    ) / 127.0
-                ).astype(jnp.float32)
-                scale = self._bank_row_scale
-            else:
-                self._bank_scale = (
-                    jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
+            if isinstance(bank_in, jax.Array) and bank_in.dtype == jnp.int8:
+                # Pre-quantized injection (same contract as the tree
+                # paths): re-quantizing the codes would clobber the
+                # injected scale with ~1.0 and de-calibrate the scores
+                # the engine's cross-attention softmax consumes.
+                assert self._bank_scale is not None, (
+                    "int8 bank injection requires bank_scale"
                 )
-                scale = self._bank_scale
-            bank_in = jnp.clip(
-                jnp.round(bank_f / scale), -127, 127
-            ).astype(jnp.int8)
-            self.feature_memory = bank_in
+                assert not self.int8_rows, (
+                    "pre-quantized int8 injection is global-scale only"
+                )
+            else:
+                from hbird_tpu.ops.quantize import quantize_bank_int8
+
+                bank_f = (
+                    bank_in.astype(jnp.float32)
+                    if isinstance(bank_in, jax.Array)
+                    else jnp.asarray(np.asarray(bank_in, np.float32))
+                )
+                bank_in, scale = quantize_bank_int8(
+                    bank_f, per_row=self.int8_rows
+                )
+                if self.int8_rows:
+                    self._bank_row_scale = scale
+                else:
+                    self._bank_scale = scale
+                self.feature_memory = bank_in
+                if self.num_reordering_candidates > self.n_neighbors:
+                    # Explicitly requested reorder(C) on a quantized scan
+                    # (the ScaNN-literal config): keep a bf16 copy for the
+                    # exact re-scoring pass, like the exact backend.
+                    self.rerank_bank = bank_f.astype(jnp.bfloat16)
+                del bank_f
             store = jnp.int8
-            del bank_f
         if self.use_tree:
             meshed = (
                 self.mesh is not None and self.mesh.shape.get("bank", 1) > 1
@@ -860,6 +874,16 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                     rs = jnp.pad(rs, ((0, pad), (0, 0)))
                 self._bank_row_scale = jax.device_put(
                     rs, NamedSharding(self.mesh, P("bank"))
+                )
+            if self.rerank_bank is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rb = self.rerank_bank
+                pad = self.bank.shape[0] - rb.shape[0]
+                if pad:
+                    rb = jnp.pad(rb, ((0, pad), (0, 0)))
+                self.rerank_bank = jax.device_put(
+                    rb, NamedSharding(self.mesh, P("bank"))
                 )
             return
         self.mesh = None
@@ -950,11 +974,15 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 # The sharded tree path is tile-probing only (per-query
                 # probing is a host-orchestrated single-chip feature);
                 # meshed calibration therefore always measures tile mode.
+                # row_scale rides along so int8_rows trees calibrate
+                # against the DEQUANTIZED ordering the runtime ranks by
+                # (raw code dots order differently per row).
                 _, idx, _ = sharded_ivf_knn_with_labels(
                     q, self.bank, labels_1, self.centroids,
                     self.leaf_valid, k, mesh=self.mesh, cap=self._cap,
                     n_probe=n_probe, block_q=self.query_block,
                     shard_probe=self.shard_probe,
+                    row_scale=self._bank_row_scale,
                 )
                 return np.asarray(idx)
         else:
@@ -973,10 +1001,13 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             cal_mode = "query" if self.probe_mode == "query" else "tile"
 
             def probe(n_probe, probe_mode=cal_mode):
+                # row_scale: calibrate against the dequantized ordering
+                # the runtime ranks by (int8_rows only; None otherwise).
                 _, idx = ivf_search(
                     q, self.bank, self.centroids, self.leaf_valid, k,
                     cap=self._cap, n_probe=n_probe,
                     block_q=self.query_block, probe_mode=probe_mode,
+                    row_scale=self._bank_row_scale,
                 )
                 return np.asarray(idx)
 
@@ -1032,6 +1063,8 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 perm=self.perm,
                 slots=self.slots,
             )
+        if getattr(self, "rerank_bank", None) is not None:
+            state["rerank_bank"] = self.rerank_bank
         if self.use_int8:
             if self._bank_row_scale is not None:
                 state["bank_row_scale"] = self._bank_row_scale
@@ -1136,11 +1169,9 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 kk = 128
             row_scale = state.get("bank_row_scale")
             if self.use_int8:
-                q32 = q.astype(jnp.float32)
-                q_scale = jnp.maximum(jnp.abs(q32).max(), 1e-12) / 127.0
-                q_cast = jnp.clip(
-                    jnp.round(q32 / q_scale), -127, 127
-                ).astype(jnp.int8)
+                from hbird_tpu.ops.quantize import quantize_queries_int8
+
+                q_cast, q_scale = quantize_queries_int8(q)
             else:
                 q_cast = q.astype(bank.dtype)
             if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
@@ -1223,12 +1254,16 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 else "l2"
             )
             row_scale = state.get("bank_row_scale")
+            rerank_bank = state.get("rerank_bank")
+            rerank = (
+                self.use_int8
+                and rerank_bank is not None
+                and self.num_reordering_candidates > k
+            )
             if self.use_int8 and bank.dtype == jnp.int8:
-                q32 = q.astype(jnp.float32)
-                q_scale = jnp.maximum(jnp.abs(q32).max(), 1e-12) / 127.0
-                q_cast = jnp.clip(
-                    jnp.round(q32 / q_scale), -127, 127
-                ).astype(jnp.int8)
+                from hbird_tpu.ops.quantize import quantize_queries_int8
+
+                q_cast, q_scale = quantize_queries_int8(q)
             else:
                 q_cast = q.astype(bank.dtype)
             vals, idx, out_labels = sharded_knn_with_labels(
@@ -1242,9 +1277,16 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 query_block=self.query_block,
                 bank_block=self.bank_block,
                 kernel="pallas",
+                rerank_bank=rerank_bank if rerank else None,
+                rerank_queries=q.astype(jnp.bfloat16) if rerank else None,
+                rerank_candidates=(
+                    self.num_reordering_candidates if rerank else 0
+                ),
                 row_scale=row_scale,
             )
-            if self.use_int8 and bank.dtype == jnp.int8:
+            if self.use_int8 and bank.dtype == jnp.int8 and not rerank:
+                # Reranked scores are already exact bf16 dot products;
+                # row-scaled scores already carry the bank-side scale.
                 vals = vals * (
                     q_scale if row_scale is not None
                     else state["bank_scale"] * q_scale

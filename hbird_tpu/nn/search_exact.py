@@ -138,17 +138,6 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
                 if isinstance(self.feature_memory, jax.Array)
                 else jnp.asarray(np.asarray(self.feature_memory, np.float32))
             )
-            if self.int8_rows:
-                # (M, 1): 2-D so state_spec scales it with the row count.
-                self._bank_row_scale = (
-                    jnp.maximum(
-                        jnp.abs(bank_f).max(axis=1, keepdims=True), 1e-12
-                    ) / 127.0
-                ).astype(jnp.float32)
-            else:
-                self._bank_scale = (
-                    jnp.maximum(jnp.abs(bank_f).max(), 1e-12) / 127.0
-                )
             if self.num_reordering_candidates > self.n_neighbors:
                 # Full-precision copy for the exact re-ordering pass (bf16:
                 # half the f32 footprint, exact enough for re-scoring).
@@ -164,12 +153,16 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
                         rb = jnp.pad(rb, ((0, padded - rb.shape[0]), (0, 0)))
                     rb = jax.device_put(rb, NamedSharding(self.mesh, P("bank")))
                 self.rerank_bank = rb
-            scale = (
-                self._bank_row_scale if self.int8_rows else self._bank_scale
+            from hbird_tpu.ops.quantize import quantize_bank_int8
+
+            self.feature_memory, scale = quantize_bank_int8(
+                bank_f, per_row=self.int8_rows
             )
-            self.feature_memory = jnp.clip(
-                jnp.round(bank_f / scale), -127, 127
-            ).astype(jnp.int8)
+            if self.int8_rows:
+                # (M, 1): 2-D so state_spec scales it with the row count.
+                self._bank_row_scale = scale
+            else:
+                self._bank_scale = scale
         bank_in = self.feature_memory
         labels = self.label_memory
         if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
@@ -228,6 +221,13 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
             else jnp.asarray(np.asarray(labels, np.float32))
         )
         self.valid_rows = self.bank.shape[0]
+        if self._injected_valid_rows is not None:
+            # Engine banks arrive PRE-PADDED even when the mesh has no
+            # bank axis (or a size-1 one) — pad_rows_for_mesh block-
+            # aligns the accumulator regardless. Without this mask the
+            # kernel scores the zero padding rows as real (score-0 ghost
+            # neighbours with all-zero labels).
+            self.valid_rows = int(self._injected_valid_rows)
 
     # ------------------------------------------------------------------
     @property
@@ -273,9 +273,9 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         k = k or self.n_neighbors
         rerank = self.use_int8 and rerank_bank is not None
         if self.use_int8:
-            q32 = q.astype(jnp.float32)
-            q_scale = jnp.maximum(jnp.abs(q32).max(), 1e-12) / 127.0
-            q_cast = jnp.clip(jnp.round(q32 / q_scale), -127, 127).astype(jnp.int8)
+            from hbird_tpu.ops.quantize import quantize_queries_int8
+
+            q_cast, q_scale = quantize_queries_int8(q)
         else:
             q_cast = q.astype(bank.dtype)
         if (

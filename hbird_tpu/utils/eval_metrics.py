@@ -251,18 +251,44 @@ class PredsmIoU:
         Defaults mirror the reference call site
         (hbird/hbird_eval.py:253 -> Hungarian matching).
         """
+        local_conf = None
         if sync_distributed and jax.process_count() > 1:
             # COLLECTIVE: must run on every process (the reference's
             # dormant DDP hook, eval_metrics.py:250-252, all_reduces the
             # confusion matrix before rank gating for the same reason) —
-            # so it sits BEFORE the is_global_zero early return.
+            # so it sits BEFORE the is_global_zero early return. The
+            # LOCAL matrix is restored afterwards (finally below): keeping
+            # the global sum in self._conf_mat would make a second
+            # compute() allgather already-summed matrices and inflate the
+            # returned tp/fp/fn counts nproc-fold.
             from jax.experimental import multihost_utils
 
             summed = multihost_utils.process_allgather(
                 jnp.asarray(self._conf_mat, jnp.int64)
             ).sum(axis=0)
+            local_conf = self._conf_mat
             self._conf_mat = np.asarray(summed, np.int64)
+        try:
+            return self._compute_from_conf_mat(
+                is_global_zero,
+                many_to_one=many_to_one,
+                precision_based=precision_based,
+                linear_probe=linear_probe,
+                return_reordered=return_reordered,
+            )
+        finally:
+            if local_conf is not None:
+                self._conf_mat = local_conf
 
+    def _compute_from_conf_mat(
+        self,
+        is_global_zero: bool,
+        *,
+        many_to_one: bool,
+        precision_based: bool,
+        linear_probe: bool,
+        return_reordered: bool,
+    ):
         if not is_global_zero:
             return 0.0, [], [], [], [], 0.0
 
