@@ -103,21 +103,26 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         # quantization: explicit int8 storage selector (same contract as
         # the exact backend): 'int8' = global scale, 'int8_rows' = per-
         # row scales (SQ8 — the honest core of ScaNN's score_ah:
-        # ordering over DEQUANTIZED dots, per-row resolution kept).
+        # ordering over DEQUANTIZED dots, per-row resolution kept),
+        # 'int8_asym' = int8_rows storage + ASYMMETRIC scoring (bf16
+        # queries against the int8 bank — score_ah's defining property:
+        # shortlist error from bank rounding alone).
         self.int8_rows = False
+        self.int8_asym = False
         if quantization is not None:
             qz = str(quantization).lower()
-            if qz not in ("int8", "int8_rows"):
+            if qz not in ("int8", "int8_rows", "int8_asym"):
                 raise ValueError(
-                    f"quantization must be 'int8' or 'int8_rows': "
-                    f"{quantization!r}"
+                    f"quantization must be 'int8', 'int8_rows' or "
+                    f"'int8_asym': {quantization!r}"
                 )
             if distance_measure != "dot_product":
                 raise ValueError(
                     "int8 quantization requires dot_product scoring"
                 )
             use_int8 = True
-            self.int8_rows = qz == "int8_rows"
+            self.int8_rows = qz in ("int8_rows", "int8_asym")
+            self.int8_asym = qz == "int8_asym"
         recall_target_explicit = recall_target is not None
         if recall_target is None:
             frac = num_leaves_to_search / max(1, num_leaves)
@@ -1169,9 +1174,15 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 kk = 128
             row_scale = state.get("bank_row_scale")
             if self.use_int8:
-                from hbird_tpu.ops.quantize import quantize_queries_int8
+                if self.int8_asym:
+                    # Asymmetric: bf16 queries against int8 slabs (the
+                    # kernel casts each tile; row_scale dequantizes).
+                    q_cast = q.astype(jnp.bfloat16)
+                    q_scale = None
+                else:
+                    from hbird_tpu.ops.quantize import quantize_queries_int8
 
-                q_cast, q_scale = quantize_queries_int8(q)
+                    q_cast, q_scale = quantize_queries_int8(q)
             else:
                 q_cast = q.astype(bank.dtype)
             if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
@@ -1190,8 +1201,9 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                     shard_probe=self.shard_probe,
                     row_scale=row_scale,
                 )
-                if self.use_int8:
-                    # Row-scaled scores already carry the bank-side scale.
+                if self.use_int8 and not self.int8_asym:
+                    # Row-scaled scores already carry the bank-side scale
+                    # (asym scores carry both — bf16 queries).
                     vals = vals * (
                         q_scale if row_scale is not None
                         else state["bank_scale"] * q_scale
@@ -1212,10 +1224,11 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 probe_mode=self.probe_mode,
                 row_scale=row_scale,
             )
-            if self.use_int8:
+            if self.use_int8 and not self.int8_asym:
                 # int32 scores -> approximate dot products (calibrated for
                 # the downstream cross-attention temperature; row-scaled
-                # scores already carry the bank-side scale).
+                # scores already carry the bank-side scale; asym scores
+                # carry both — bf16 queries).
                 vals = vals * (
                     q_scale if row_scale is not None
                     else state["bank_scale"] * q_scale
@@ -1261,9 +1274,13 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 and self.num_reordering_candidates > k
             )
             if self.use_int8 and bank.dtype == jnp.int8:
-                from hbird_tpu.ops.quantize import quantize_queries_int8
+                if self.int8_asym:
+                    q_cast = q.astype(jnp.bfloat16)
+                    q_scale = None
+                else:
+                    from hbird_tpu.ops.quantize import quantize_queries_int8
 
-                q_cast, q_scale = quantize_queries_int8(q)
+                    q_cast, q_scale = quantize_queries_int8(q)
             else:
                 q_cast = q.astype(bank.dtype)
             vals, idx, out_labels = sharded_knn_with_labels(
@@ -1284,9 +1301,13 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 ),
                 row_scale=row_scale,
             )
-            if self.use_int8 and bank.dtype == jnp.int8 and not rerank:
+            if (
+                self.use_int8 and bank.dtype == jnp.int8
+                and not rerank and not self.int8_asym
+            ):
                 # Reranked scores are already exact bf16 dot products;
-                # row-scaled scores already carry the bank-side scale.
+                # row-scaled scores already carry the bank-side scale;
+                # asym scores carry both — bf16 queries.
                 vals = vals * (
                     q_scale if row_scale is not None
                     else state["bank_scale"] * q_scale

@@ -64,15 +64,26 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         #                 ScaNN's score_ah): each bank row keeps its own
         #                 scale, dequantized in the kernel epilogue so
         #                 top-k ordering is over dequantized dots.
+        #   'int8_asym' — int8_rows storage + ASYMMETRIC scoring (the
+        #                 defining property of ScaNN's score_ah,
+        #                 reference search_scann.py:29-30): queries stay
+        #                 bf16, only the bank is quantized (the kernel
+        #                 casts each int8 tile to bf16 ahead of the MXU
+        #                 matmul), so shortlist error comes from bank
+        #                 rounding alone. Same bank bytes/HBM traffic;
+        #                 returned scores are approximate true dot
+        #                 products directly (no query-scale factor).
+        self.int8_asym = False
         if quantization is not None:
             qz = str(quantization).lower()
-            if qz not in ("int8", "int8_rows"):
+            if qz not in ("int8", "int8_rows", "int8_asym"):
                 raise ValueError(
-                    f"quantization must be 'int8' or 'int8_rows': "
-                    f"{quantization!r}"
+                    f"quantization must be 'int8', 'int8_rows' or "
+                    f"'int8_asym': {quantization!r}"
                 )
             use_int8 = True
-            self.int8_rows = qz == "int8_rows"
+            self.int8_rows = qz in ("int8_rows", "int8_asym")
+            self.int8_asym = qz == "int8_asym"
         else:
             self.int8_rows = False
         self.use_int8 = use_int8
@@ -273,9 +284,16 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
         k = k or self.n_neighbors
         rerank = self.use_int8 and rerank_bank is not None
         if self.use_int8:
-            from hbird_tpu.ops.quantize import quantize_queries_int8
+            if self.int8_asym:
+                # Asymmetric: bf16 queries against the int8 bank — the
+                # kernel casts each bank tile; row_scale dequantizes in
+                # the epilogue, so values come out in true dot units.
+                q_cast = q.astype(jnp.bfloat16)
+                q_scale = None
+            else:
+                from hbird_tpu.ops.quantize import quantize_queries_int8
 
-            q_cast, q_scale = quantize_queries_int8(q)
+                q_cast, q_scale = quantize_queries_int8(q)
         else:
             q_cast = q.astype(bank.dtype)
         if (
@@ -309,8 +327,9 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
                 rerank_candidates=self.num_reordering_candidates if rerank else 0,
                 row_scale=row_scale,
             )
-            if self.use_int8 and not rerank:
-                # Row-scaled scores already carry the bank-side scale.
+            if self.use_int8 and not rerank and not self.int8_asym:
+                # Row-scaled scores already carry the bank-side scale
+                # (asym scores carry BOTH sides — bf16 queries).
                 vals = vals * (
                     q_scale if row_scale is not None
                     else bank_scale * q_scale
@@ -332,11 +351,12 @@ class NearestNeighborSearchExact(NearestNeighborSearchBase):
             rerank_candidates=self.num_reordering_candidates if rerank else 0,
             row_scale=row_scale,
         )
-        if self.use_int8 and not rerank:
+        if self.use_int8 and not rerank and not self.int8_asym:
             # Rescale int32 scores back to (approximate) dot products so
             # downstream cross-attention temperatures stay calibrated.
             # (Reranked scores are already exact bf16 dot products; row-
-            # scaled scores already carry the bank-side scale.)
+            # scaled scores already carry the bank-side scale; asym
+            # scores carry both sides — bf16 queries.)
             vals = vals * (
                 q_scale if row_scale is not None else bank_scale * q_scale
             )

@@ -640,6 +640,10 @@ def ivf_search_xla(
 
     def tile_fn(q_t, lids):
         slabs = bank3[lids].reshape(n_probe * cap, d)  # (L*cap, D)
+        if slabs.dtype == jnp.int8 and not int8_in:
+            # Asymmetric scoring: float queries against int8 slabs (same
+            # cast the Pallas kernel does per tile).
+            slabs = slabs.astype(q_t.dtype)
         s = jax.lax.dot_general(
             q_t,
             slabs,
@@ -698,9 +702,15 @@ def _ivf_kernel(
     base = slab * cap
     col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], cap), 1)
     int8_inputs = q_ref.dtype == jnp.int8
+    bank_tile = bank_ref[...]
+    if bank_tile.dtype == jnp.int8 and not int8_inputs:
+        # Asymmetric scoring: bf16 queries against int8 slab rows (cast
+        # per loaded tile) — same mechanism as the flat kernel's asym
+        # path; row_scale dequantizes in the epilogue below.
+        bank_tile = bank_tile.astype(q_ref.dtype)
     s = jax.lax.dot_general(
         q_ref[...],
-        bank_ref[...],
+        bank_tile,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32 if int8_inputs else jnp.float32,
     )

@@ -284,9 +284,19 @@ def _knn_kernel(
     base = j * block_m
     col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], block_m), 1) + base
     int8_inputs = q_ref.dtype == jnp.int8
+    bank_tile = bank_ref[...]
+    if bank_tile.dtype == jnp.int8 and not int8_inputs:
+        # ASYMMETRIC scoring (the defining property of ScaNN's score_ah,
+        # reference search_scann.py:29-30): only the BANK is quantized —
+        # bf16 queries hit dequantized-by-scale codes, so shortlist error
+        # comes from bank rounding alone (~0.4% per component) instead
+        # of bank+query rounding. One VPU cast per loaded tile, fused
+        # ahead of the MXU matmul; the HBM saving (int8 bank reads) is
+        # unchanged.
+        bank_tile = bank_tile.astype(q_ref.dtype)
     s = jax.lax.dot_general(
         q_ref[...],
-        bank_ref[...],
+        bank_tile,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32 if int8_inputs else jnp.float32,
     )

@@ -263,11 +263,17 @@ class PredsmIoU:
             # returned tp/fp/fn counts nproc-fold.
             from jax.experimental import multihost_utils
 
-            summed = multihost_utils.process_allgather(
-                jnp.asarray(self._conf_mat, jnp.int64)
-            ).sum(axis=0)
+            # Gather int32 (x64 is disabled, so an int64 device array
+            # would silently truncate anyway — per-process cell counts
+            # fit int32 up to ~2.1B local pixels), sum in HOST int64 so
+            # the global counts cannot overflow.
+            gathered = np.asarray(
+                multihost_utils.process_allgather(
+                    jnp.asarray(self._conf_mat, jnp.int32)
+                )
+            )
             local_conf = self._conf_mat
-            self._conf_mat = np.asarray(summed, np.int64)
+            self._conf_mat = gathered.astype(np.int64).sum(axis=0)
         try:
             return self._compute_from_conf_mat(
                 is_global_zero,

@@ -127,6 +127,9 @@ configs = [
     ("int8_rows / SQ8 (no rerank)",
      lambda: NearestNeighborSearchExact(
          bank, n_neighbors=K, quantization="int8_rows")),
+    ("int8_asym (bf16 q x int8 bank)",
+     lambda: NearestNeighborSearchExact(
+         bank, n_neighbors=K, quantization="int8_asym")),
     ("int8 + rerank120",
      lambda: NearestNeighborSearchExact(
          bank, n_neighbors=K, use_int8=True, num_reordering_candidates=120)),
@@ -143,7 +146,8 @@ if args.hetero:
     # The quantization split is the question here; skip the tree row
     # (clustered-geometry recall lives in bench_ivf.py either way).
     keep = ("exact bf16 (pallas)", "int8 (no rerank)",
-            "int8_rows / SQ8 (no rerank)", "int8 + rerank120")
+            "int8_rows / SQ8 (no rerank)",
+            "int8_asym (bf16 q x int8 bank)", "int8 + rerank120")
     configs = [c for c in configs if c[0] in keep]
 
 for tag, make in configs:

@@ -408,3 +408,189 @@ class TestTreeInt8Rows:
         idx_e = exact.find_nearest_neighbors(q, k)[0]
         idx_r = rows.find_nearest_neighbors(q, k)[0]
         assert _recall(idx_r, idx_e) > 0.95
+
+
+class TestAsymmetricInt8:
+    """quantization='int8_asym': int8_rows storage + bf16 queries (the
+    defining property of ScaNN's score_ah, reference
+    search_scann.py:29-30) — shortlist error comes from bank rounding
+    alone, so raw recall beats both symmetric schemes at the same bank
+    bytes."""
+
+    def test_asym_beats_symmetric_recall(self):
+        rng = np.random.default_rng(20)
+        m, d, q_n, k = 8192, 64, 512, 10
+        bank = _mixed_range_bank(rng, m, d)
+        q = rng.normal(size=(q_n, d)).astype(np.float32)
+        common = dict(n_neighbors=k, query_block=64, bank_block=512)
+        exact = NearestNeighborSearchExact(bank, **common)
+        sym = NearestNeighborSearchExact(
+            bank, quantization="int8_rows", **common
+        )
+        asym = NearestNeighborSearchExact(
+            bank, quantization="int8_asym", **common
+        )
+        assert asym.int8_asym and asym.int8_rows and asym.use_int8
+        assert asym.bank.dtype == jnp.int8
+        idx_e, vals_e = exact.find_nearest_neighbors(q, k)
+        idx_s = sym.find_nearest_neighbors(q, k)[0]
+        idx_a, vals_a = asym.find_nearest_neighbors(q, k)
+        r_sym, r_asym = _recall(idx_s, idx_e), _recall(idx_a, idx_e)
+        # The VERDICT r4 bar: raw recall >= 0.99 with no reorder pass.
+        assert r_asym >= 0.99, (r_asym, r_sym)
+        assert r_asym >= r_sym, (r_asym, r_sym)
+        # Values are approximate TRUE dot products directly (bank
+        # rounding + bf16 queries only — no query quantization).
+        rel = np.abs(vals_a - vals_e).max() / np.abs(vals_e).max()
+        assert rel < 0.02, rel
+
+    def test_asym_decoy_bank_recall(self):
+        # The geometry that collapses the global scheme entirely: per-row
+        # scales + unquantized queries must stay essentially exact.
+        rng = np.random.default_rng(21)
+        m, d, q_n, k = 4096, 64, 256, 8
+        half = d // 2
+        bank = np.zeros((m, d), np.float32)
+        bank[:64, :half] = 100.0 * rng.normal(size=(64, half))
+        small = rng.normal(size=(m - 64, half)).astype(np.float32)
+        small /= np.linalg.norm(small, axis=1, keepdims=True)
+        bank[64:, half:] = small
+        q = np.zeros((q_n, d), np.float32)
+        qs = rng.normal(size=(q_n, half)).astype(np.float32)
+        q[:, half:] = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+        common = dict(n_neighbors=k, query_block=64, bank_block=512)
+        exact = NearestNeighborSearchExact(bank, **common)
+        asym = NearestNeighborSearchExact(
+            bank, quantization="int8_asym", **common
+        )
+        idx_e = exact.find_nearest_neighbors(q, k)[0]
+        idx_a = asym.find_nearest_neighbors(q, k)[0]
+        # Unit-norm rows in a 32-dim subspace are near-tie dense; ~1% of
+        # k=8 slots flip on bank rounding alone (global scale: ~0.0).
+        assert _recall(idx_a, idx_e) >= 0.98
+
+    def test_asym_meshed_matches_single_device(self):
+        rng = np.random.default_rng(22)
+        m, d, q_n, k = 4096, 32, 256, 8
+        bank = _mixed_range_bank(rng, m, d)
+        labels = rng.uniform(size=(m, 4)).astype(np.float32)
+        q = rng.normal(size=(q_n, d)).astype(np.float32)
+        from hbird_tpu.parallel import make_mesh
+
+        common = dict(
+            n_neighbors=k, quantization="int8_asym", label_memory=labels,
+            query_block=64, bank_block=512,
+        )
+        single = NearestNeighborSearchExact(bank, **common)
+        mesh = make_mesh((4,), ("bank",))
+        meshed = NearestNeighborSearchExact(bank, mesh=mesh, **common)
+        vs, is_, _ = single.search_with_labels(jnp.asarray(q), k)
+        vm, im, _ = meshed.search_with_labels(jnp.asarray(q), k)
+        np.testing.assert_allclose(
+            np.asarray(vs), np.asarray(vm), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(is_), 1), np.sort(np.asarray(im), 1)
+        )
+
+    def test_asym_tree(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        rng = np.random.default_rng(23)
+        bank = _mixed_range_bank(rng, 4096, 32)
+        labels = rng.uniform(size=(4096, 4)).astype(np.float32)
+        q = rng.normal(size=(256, 32)).astype(np.float32)
+        k = 8
+        common = dict(
+            n_neighbors=k, label_memory=labels, use_tree=True,
+            num_leaves=8, num_leaves_to_search=8, query_block=64,
+        )
+        exact = NearestNeighborSearchApprox(bank, use_fp16=False, **common)
+        asym = NearestNeighborSearchApprox(
+            bank, quantization="int8_asym", **common
+        )
+        assert asym.int8_asym and asym.bank.dtype == jnp.int8
+        idx_e = exact.find_nearest_neighbors(q, k)[0]
+        idx_a = asym.find_nearest_neighbors(q, k)[0]
+        # Full probe budget: recall gap is pure quantization error.
+        assert _recall(idx_a, idx_e) >= 0.99
+
+    def test_asym_flat_approx(self):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        rng = np.random.default_rng(24)
+        bank = _mixed_range_bank(rng, 2048, 32)
+        q = rng.normal(size=(128, 32)).astype(np.float32)
+        k = 8
+        exact = NearestNeighborSearchApprox(
+            bank, n_neighbors=k, use_fp16=False,
+            query_block=64, bank_block=512,
+        )
+        asym = NearestNeighborSearchApprox(
+            bank, n_neighbors=k, quantization="int8_asym",
+            query_block=64, bank_block=512,
+        )
+        idx_e = exact.find_nearest_neighbors(q, k)[0]
+        idx_a = asym.find_nearest_neighbors(q, k)[0]
+        assert _recall(idx_a, idx_e) >= 0.99
+
+    def test_asym_treedir_roundtrip(self, tmp_path):
+        from hbird_tpu.nn.search_approx import NearestNeighborSearchApprox
+
+        rng = np.random.default_rng(25)
+        bank = _mixed_range_bank(rng, 2048, 32)
+        labels = rng.uniform(size=(2048, 4)).astype(np.float32)
+        q = rng.normal(size=(64, 32)).astype(np.float32)
+        k = 8
+        nn = NearestNeighborSearchApprox(
+            bank, n_neighbors=k, label_memory=labels, use_tree=True,
+            quantization="int8_asym", num_leaves=8,
+            num_leaves_to_search=8, query_block=64,
+        )
+        treedir = str(tmp_path / "a.treedir")
+        nn.save_tree(treedir)
+        nn2 = NearestNeighborSearchApprox.load_tree(
+            treedir, n_neighbors=k, num_leaves_to_search=8,
+            query_block=64, quantization="int8_asym",
+        )
+        assert nn2.int8_asym
+        v1, i1, _ = nn.search_with_labels(jnp.asarray(q), k)
+        v2, i2, _ = nn2.search_with_labels(jnp.asarray(q), k)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=1e-6
+        )
+
+    def test_asym_engine_flow(self, tmp_path):
+        from hbird_tpu.data import get_dataset
+        from hbird_tpu.data.synthetic import make_voc_fixture
+        from hbird_tpu.data.transforms import get_hbird_val_transforms
+        from hbird_tpu.models import FeatureExtractorSimple
+        from hbird_tpu import HbirdEvaluation
+
+        root = str(tmp_path / "voc")
+        make_voc_fixture(
+            root, n_train=6, n_val=3, size=(48, 32), colorize=True,
+            seed=0, class_pool=[1, 2, 3],
+        )
+        INPUT, PATCH = 32, 4
+        s = INPUT // PATCH
+
+        def fn(model, imgs):
+            b, c, h, w = imgs.shape
+            x = imgs.reshape(b, c, s, PATCH, s, PATCH).mean(axis=(3, 5))
+            return x.transpose(0, 2, 3, 1).reshape(b, s * s, c), None
+
+        va = get_hbird_val_transforms(INPUT)
+        ds, _ = get_dataset("voc", root, 3, 0, va, va, None, None)
+        fe = FeatureExtractorSimple(
+            None, fn, eval_spatial_resolution=s, d_model=3
+        )
+        ev = HbirdEvaluation(
+            fe, ds.train_dataloader(), num_classes=21, n_neighbours=3,
+            nn_method="exact",
+            nn_params={"quantization": "int8_asym"}, seed=1,
+        )
+        assert ev.NN_algorithm.int8_asym
+        miou = ev.evaluate(ds.val_dataloader(), s, ignore_index=255)
+        assert np.isfinite(float(miou))
