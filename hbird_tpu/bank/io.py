@@ -359,6 +359,7 @@ def save_tree_state(
     valid_rows: int,
     bank_scale: Optional[float] = None,
     row_scale_in_labels: bool = False,
+    col_scale=None,
     chunk_rows: int = 262144,
 ) -> str:
     """Write a built tree. `ivf_bank`/`ivf_labels` may be jax arrays
@@ -409,13 +410,17 @@ def save_tree_state(
     perm_h = _host_replicated(perm).astype(np.int32)
     slots_h = _host_replicated(slots).astype(np.int32)
     if primary:
-        np.savez(
-            os.path.join(dir_path, "meta.npz"),
+        meta_arrays = dict(
             centroids=cent_h,
             leaf_valid=lv_h,
             perm=perm_h,
             slots=slots_h,
         )
+        if col_scale is not None:
+            # score_ah per-column-block dequant scales (d,) — small,
+            # replicated, lives with the other meta arrays.
+            meta_arrays["col_scale"] = np.asarray(col_scale, np.float32)
+        np.savez(os.path.join(dir_path, "meta.npz"), **meta_arrays)
         meta = {
             "version": 1,
             "cap": int(cap),
@@ -513,6 +518,7 @@ def load_tree_state(dir_path: str, *, mesh=None, bank_axis: str = "bank"):
         valid_rows=meta["valid_rows"],
         bank_scale=meta["bank_scale"],
         bank_row_scale=bank_row_scale,
+        bank_col_scale=z["col_scale"] if "col_scale" in z.files else None,
         n_leaves=meta["n_leaves"],
     )
 

@@ -16,10 +16,14 @@ compatibility. Two modes:
   that actually pays on TPU (ops/ivf.py; 152.6k q/s at recall ~1.0 on a
   1M clustered bank after capacity-aware refinement).
 
-- anisotropic_quantization_threshold / dimensions_per_block: quantization
-  knobs with no TPU analogue (bf16 bank storage replaces AH — and is the
-  default here, mirroring ScaNN's default quantized scoring); accepted,
-  unused.
+- anisotropic_quantization_threshold / dimensions_per_block: real on the
+  per-row int8 modes (quantization='int8_rows'/'int8_asym'):
+  dimensions_per_block selects per-column-BLOCK scales (separable with
+  the row scales — dequantization is codes * s_row * c_col, recovered
+  exactly by pre-scaling queries with c_col, kernels untouched), and the
+  threshold drives score-aware per-row scale selection minimizing the
+  anisotropic loss (ops/quantize.py::refine_row_scales_aniso). With bf16
+  storage (the default) they have nothing to act on and warn once.
 """
 
 from __future__ import annotations
@@ -83,23 +87,46 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         # passes training_sample_size=bank_rows): alias of tree_sample_rows.
         if "training_sample_size" in kwargs:
             tree_sample_rows = int(kwargs.pop("training_sample_size"))
-        if (
+        # ScaNN's score_ah knobs (reference search_scann.py:29-30) act on
+        # the per-row int8 modes: dimensions_per_block -> per-column-block
+        # scales (separable with the row scales, folded into the queries
+        # at search time), anisotropic_quantization_threshold -> score-
+        # aware per-row scale selection (ops/quantize.py). With no int8
+        # storage selected they have nothing to act on — warn, don't
+        # silently drop an explicit setting.
+        knobs_set = (
             anisotropic_quantization_threshold is not None
             or dimensions_per_block is not None
-        ) and quantization is None:
+        )
+        if knobs_set and quantization not in ("int8_rows", "int8_asym"):
             from hbird_tpu.utils.logging import get_logger
 
-            # ScaNN's asymmetric-hashing knobs (reference
-            # search_scann.py:29-30) have no effect here: quantized
-            # scoring is bf16 (default) or per-row int8
-            # (quantization='int8_rows') instead of AH codebooks. Say so
-            # once rather than silently ignoring an explicit setting.
             get_logger(__name__).warning(
                 "anisotropic_quantization_threshold/dimensions_per_block "
-                "are accepted for config compatibility but have no TPU "
-                "analogue (bank storage is bf16, or per-row int8 via "
-                "quantization='int8_rows'); values are ignored."
+                "act on the per-row int8 modes (pass "
+                "quantization='int8_rows' or 'int8_asym'); with %s bank "
+                "storage they are ignored.",
+                quantization or ("bf16" if use_fp16 else "f32"),
             )
+        self.dims_per_block = None
+        self.aniso_threshold = None
+        if knobs_set and quantization in ("int8_rows", "int8_asym"):
+            if dimensions_per_block is not None:
+                self.dims_per_block = int(dimensions_per_block)
+                if self.dims_per_block < 1:
+                    raise ValueError(
+                        f"dimensions_per_block must be >= 1: "
+                        f"{dimensions_per_block}"
+                    )
+            if anisotropic_quantization_threshold is not None:
+                self.aniso_threshold = float(
+                    anisotropic_quantization_threshold
+                )
+                if not (0.0 < self.aniso_threshold < 1.0):
+                    raise ValueError(
+                        "anisotropic_quantization_threshold must be in "
+                        f"(0, 1): {anisotropic_quantization_threshold}"
+                    )
         # quantization: explicit int8 storage selector (same contract as
         # the exact backend): 'int8' = global scale, 'int8_rows' = per-
         # row scales (SQ8 — the honest core of ScaNN's score_ah:
@@ -180,6 +207,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             jnp.float32(bank_scale) if bank_scale is not None else None
         )
         self._bank_row_scale = None
+        self._bank_col_scale = None
         self.tree_slack = float(tree_slack)
         # Tree probing granularity (ops/ivf.ivf_search): 'auto' keeps the
         # fast tile shortlist for leaf-coherent query sets (the engine's)
@@ -250,6 +278,32 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
     def _initialize_index(self):
         return None
 
+    def _quantize_bank(self, bank_f, *, row_block: Optional[int] = 262144):
+        """int8-quantize a float bank per the configured scheme.
+
+        Returns ``(codes, scale)`` — per-row ``(M, 1)`` or global scalar.
+        When the score_ah knobs are active (per-row modes only) this
+        routes through the separable per-row × per-column-block +
+        anisotropic quantizer and records the column scales on the
+        instance (``_bank_col_scale``; queries are pre-scaled by them at
+        search time)."""
+        from hbird_tpu.ops.quantize import (
+            quantize_bank_int8, quantize_bank_int8_ah,
+        )
+
+        if self.int8_rows and (
+            self.dims_per_block is not None or self.aniso_threshold is not None
+        ):
+            codes, scale, col = quantize_bank_int8_ah(
+                bank_f,
+                dims_per_block=self.dims_per_block,
+                aniso_threshold=self.aniso_threshold,
+                row_block=row_block,
+            )
+            self._bank_col_scale = col
+            return codes, scale
+        return quantize_bank_int8(bank_f, per_row=self.int8_rows)
+
     def _tree_geometry(self, n_rows: int):
         from hbird_tpu.ops.ivf import tree_layout
 
@@ -298,16 +352,12 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 )
                 bank_s = bank_in
             else:
-                from hbird_tpu.ops.quantize import quantize_bank_int8
-
                 bank_f = (
                     bank_in.astype(jnp.float32)
                     if isinstance(bank_in, jax.Array)
                     else jnp.asarray(np.asarray(bank_in, np.float32))
                 )
-                bank_s, scale = quantize_bank_int8(
-                    bank_f, per_row=self.int8_rows
-                )
+                bank_s, scale = self._quantize_bank(bank_f)
                 if self.int8_rows:
                     row_scale_flat = scale
                 else:
@@ -411,12 +461,10 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 )
                 if self._injected_valid_rows is not None:
                     m = int(self._injected_valid_rows)
-                from hbird_tpu.ops.quantize import quantize_bank_int8
-
                 bank_f = bank_f.astype(jnp.float32)
-                bank_s, scale = quantize_bank_int8(
-                    bank_f, per_row=self.int8_rows
-                )
+                # row_block=None: slicing a row-sharded bank would gather
+                # across shards; each shard only holds M/p rows anyway.
+                bank_s, scale = self._quantize_bank(bank_f, row_block=None)
                 if self.int8_rows:
                     # Per-row scales, row-sharded like the bank; they
                     # ride the ring scatter as an extra label column so
@@ -528,6 +576,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         n_neighbors: int = 30,
         bank_scale=None,
         bank_row_scale=None,
+        bank_col_scale=None,
         mesh=None,
         **kwargs,
     ):
@@ -595,6 +644,17 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             self._bank_scale = None
         elif bank_scale is not None:
             self._bank_scale = jnp.float32(bank_scale)
+        if bank_col_scale is not None:
+            # score_ah column-block scales persisted with the tree; the
+            # search path folds them into the queries. dims_per_block
+            # itself need not survive the round-trip — the scales are
+            # the quantization's complete artifact.
+            self._bank_col_scale = jnp.asarray(bank_col_scale, jnp.float32)
+        else:
+            # Injected slabs are already quantized; a dims_per_block in
+            # kwargs can only have produced garbage scales on the 2-row
+            # dummy — never let them rescale real queries.
+            self._bank_col_scale = None
         return self
 
     @classmethod
@@ -745,6 +805,11 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             valid_rows=self.valid_rows,
             bank_scale=scale,
             row_scale_in_labels=row_scale_in_labels,
+            col_scale=(
+                np.asarray(self._bank_col_scale, np.float32)
+                if self._bank_col_scale is not None
+                else None
+            ),
             chunk_rows=chunk_rows,
         )
 
@@ -779,6 +844,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             n_neighbors=n_neighbors,
             bank_scale=state["bank_scale"],
             bank_row_scale=state.get("bank_row_scale"),
+            bank_col_scale=state.get("bank_col_scale"),
             mesh=mesh,
             num_leaves=state["n_leaves"],
             **kwargs,
@@ -806,16 +872,12 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                     "pre-quantized int8 injection is global-scale only"
                 )
             else:
-                from hbird_tpu.ops.quantize import quantize_bank_int8
-
                 bank_f = (
                     bank_in.astype(jnp.float32)
                     if isinstance(bank_in, jax.Array)
                     else jnp.asarray(np.asarray(bank_in, np.float32))
                 )
-                bank_in, scale = quantize_bank_int8(
-                    bank_f, per_row=self.int8_rows
-                )
+                bank_in, scale = self._quantize_bank(bank_f)
                 if self.int8_rows:
                     self._bank_row_scale = scale
                 else:
@@ -1075,6 +1137,8 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 state["bank_row_scale"] = self._bank_row_scale
             else:
                 state["bank_scale"] = self._bank_scale
+            if self._bank_col_scale is not None:
+                state["bank_col_scale"] = self._bank_col_scale
         return state
 
     def state_spec(self, n_rows: int):
@@ -1120,6 +1184,15 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 )
             else:
                 spec["bank_scale"] = jax.ShapeDtypeStruct((), jnp.float32)
+            if self._bank_col_scale is not None:
+                # Mirrors device_state exactly: the AOT dummy build runs
+                # the same quantizer, so the scales exist on any instance
+                # whose real twin would carry them (.treedir loads install
+                # them from the manifest — the knob itself need not
+                # survive).
+                spec["bank_col_scale"] = jax.ShapeDtypeStruct(
+                    (d,), jnp.float32
+                )
         return spec
 
     def pin_expected_rows(self, n_rows: int) -> None:
@@ -1141,6 +1214,9 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
             )
         elif rows.dtype == jnp.int8 and "bank_scale" in state:
             rows = rows.astype(jnp.float32) * state["bank_scale"]
+        if rows.dtype == jnp.float32 and "bank_col_scale" in state:
+            # Separable score_ah dequantization: x = codes * s_row * c.
+            rows = rows * state["bank_col_scale"]
         return rows
 
     def search_with_labels(self, q: jax.Array, k: Optional[int] = None):
@@ -1173,16 +1249,25 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 )
                 kk = 128
             row_scale = state.get("bank_row_scale")
+            col_scale = state.get("bank_col_scale")
             if self.use_int8:
+                # dimensions_per_block column scales fold into the query
+                # (scores = s_row * dot(q*c, codes) — exact separable
+                # dequantization, kernels untouched).
+                qq = (
+                    q.astype(jnp.float32) * col_scale
+                    if col_scale is not None
+                    else q
+                )
                 if self.int8_asym:
                     # Asymmetric: bf16 queries against int8 slabs (the
                     # kernel casts each tile; row_scale dequantizes).
-                    q_cast = q.astype(jnp.bfloat16)
+                    q_cast = qq.astype(jnp.bfloat16)
                     q_scale = None
                 else:
                     from hbird_tpu.ops.quantize import quantize_queries_int8
 
-                    q_cast, q_scale = quantize_queries_int8(q)
+                    q_cast, q_scale = quantize_queries_int8(qq)
             else:
                 q_cast = q.astype(bank.dtype)
             if self.mesh is not None and self.mesh.shape.get("bank", 1) > 1:
@@ -1274,13 +1359,22 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 and self.num_reordering_candidates > k
             )
             if self.use_int8 and bank.dtype == jnp.int8:
+                col_scale = state.get("bank_col_scale")
+                # Column-block scales fold into the query (separable
+                # dequantization); rerank below re-scores with the
+                # ORIGINAL q against the exact bf16 rows, unaffected.
+                qq = (
+                    q.astype(jnp.float32) * col_scale
+                    if col_scale is not None
+                    else q
+                )
                 if self.int8_asym:
-                    q_cast = q.astype(jnp.bfloat16)
+                    q_cast = qq.astype(jnp.bfloat16)
                     q_scale = None
                 else:
                     from hbird_tpu.ops.quantize import quantize_queries_int8
 
-                    q_cast, q_scale = quantize_queries_int8(q)
+                    q_cast, q_scale = quantize_queries_int8(qq)
             else:
                 q_cast = q.astype(bank.dtype)
             vals, idx, out_labels = sharded_knn_with_labels(
