@@ -21,8 +21,8 @@ compatibility. Two modes:
   dimensions_per_block selects per-column-BLOCK scales (separable with
   the row scales — dequantization is codes * s_row * c_col, recovered
   exactly by pre-scaling queries with c_col, kernels untouched), and the
-  threshold drives score-aware per-row scale selection minimizing the
-  anisotropic loss (ops/quantize.py::refine_row_scales_aniso). With bf16
+  threshold drives score-aware CODE refinement minimizing the
+  anisotropic loss (ops/quantize.py::quantize_codes_aniso). With bf16
   storage (the default) they have nothing to act on and warn once.
 """
 

@@ -29,6 +29,16 @@ ap.add_argument(
          "and there a single global int8 scale starves small-norm rows "
          "of resolution while quantization='int8_rows' keeps per-row "
          "precision. This mode measures exactly that split.")
+ap.add_argument(
+    "--hetero-cols", action="store_true",
+    help="ViT-like OUTLIER-DIM geometry: a few fixed high-magnitude "
+         "feature dims shared by every row (the well-documented ViT "
+         "outlier channels), discriminative signal in the rest. The row "
+         "abs-max scale is set by the outliers, crushing the signal "
+         "dims' int8 resolution — the regime score_ah's "
+         "dimensions_per_block (per-column-block scales) and "
+         "anisotropic_quantization_threshold (direction-aware rounding) "
+         "exist for. Queries are bank-like only (retrieval regime).")
 args = ap.parse_args()
 
 import numpy as np
@@ -49,20 +59,37 @@ QR = 8_192  # recall subset
 
 print("device:", jax.devices(), flush=True)
 rng = np.random.default_rng(0)
-bank = rng.normal(size=(M, D)).astype(np.float32)
+if args.hetero_cols:
+    # Outlier channels: 6 fixed dims at ~40x the signal dims, shared
+    # (with sign) by every row — the structure real ViT patch features
+    # carry. After row L2-normalization the outliers still dominate each
+    # row's abs-max, so the per-row int8 scale starves the signal dims.
+    mu = np.zeros(D, np.float32)
+    out_dims = rng.choice(D, 6, replace=False)
+    mu[out_dims] = 40.0 * rng.choice([-1.0, 1.0], 6).astype(np.float32)
+    bank = mu + rng.normal(size=(M, D)).astype(np.float32)
+else:
+    bank = rng.normal(size=(M, D)).astype(np.float32)
 bank /= np.linalg.norm(bank, axis=1, keepdims=True)
 if args.hetero:
     row_scale = rng.lognormal(mean=0.0, sigma=1.0, size=(M, 1)).astype(np.float32)
     bank *= row_scale
-q_free = rng.normal(size=(QN // 2, D)).astype(np.float32)
-src = rng.integers(0, M, size=QN - QN // 2)
-q_like = bank[src] + 0.3 * rng.normal(size=(QN - QN // 2, D)).astype(np.float32)
-queries = np.concatenate([q_like.astype(np.float32), q_free])
-rng.shuffle(queries)
+if args.hetero_cols:
+    src = rng.integers(0, M, size=QN)
+    queries = (
+        bank[src] + 0.15 * rng.normal(size=(QN, D)).astype(np.float32)
+    ).astype(np.float32)
+else:
+    q_free = rng.normal(size=(QN // 2, D)).astype(np.float32)
+    src = rng.integers(0, M, size=QN - QN // 2)
+    q_like = bank[src] + 0.3 * rng.normal(size=(QN - QN // 2, D)).astype(np.float32)
+    queries = np.concatenate([q_like.astype(np.float32), q_free])
+    rng.shuffle(queries)
 
 import os
 
 _cache = ("/tmp/bench_backends_oracle_hetero_v1.npz" if args.hetero
+          else "/tmp/bench_backends_oracle_hcols_v1.npz" if args.hetero_cols
           else "/tmp/bench_backends_oracle_v1.npz")
 if os.path.exists(_cache):
     z = np.load(_cache)
@@ -149,6 +176,27 @@ if args.hetero:
             "int8_rows / SQ8 (no rerank)",
             "int8_asym (bf16 q x int8 bank)", "int8 + rerank120")
     configs = [c for c in configs if c[0] in keep]
+
+if args.hetero_cols:
+    # The score_ah knobs ladder: same int8_asym storage/kernel, each row
+    # adds one knob (approx backend — the knobs are ScaNN params).
+    configs = [
+        ("exact bf16 (pallas)",
+         lambda: NearestNeighborSearchExact(
+             bank, n_neighbors=K, use_fp16=True)),
+        ("int8_asym plain",
+         lambda: NearestNeighborSearchApprox(
+             bank, n_neighbors=K, quantization="int8_asym")),
+        ("int8_asym + dims_per_block=4",
+         lambda: NearestNeighborSearchApprox(
+             bank, n_neighbors=K, quantization="int8_asym",
+             dimensions_per_block=4)),
+        ("int8_asym + dpb=4 + aniso T=0.2",
+         lambda: NearestNeighborSearchApprox(
+             bank, n_neighbors=K, quantization="int8_asym",
+             dimensions_per_block=4,
+             anisotropic_quantization_threshold=0.2)),
+    ]
 
 for tag, make in configs:
     try:
