@@ -360,6 +360,7 @@ def save_tree_state(
     bank_scale: Optional[float] = None,
     row_scale_in_labels: bool = False,
     col_scale=None,
+    asym: bool = False,
     chunk_rows: int = 262144,
 ) -> str:
     """Write a built tree. `ivf_bank`/`ivf_labels` may be jax arrays
@@ -434,6 +435,10 @@ def save_tree_state(
             "bank_dtype": bank_dtype,
             "bank_scale": None if bank_scale is None else float(bank_scale),
             "row_scale_in_labels": bool(row_scale_in_labels),
+            # Scoring mode, not just storage: int8_asym trees score bf16
+            # queries against the codes; without this flag a reload
+            # silently downgrades to symmetric int8_rows scoring.
+            "asym": bool(asym),
         }
         with open(os.path.join(dir_path, TREE_META), "w") as f:
             json.dump(meta, f)
@@ -520,6 +525,7 @@ def load_tree_state(dir_path: str, *, mesh=None, bank_axis: str = "bank"):
         bank_row_scale=bank_row_scale,
         bank_col_scale=z["col_scale"] if "col_scale" in z.files else None,
         n_leaves=meta["n_leaves"],
+        asym=meta.get("asym", False),
     )
 
 

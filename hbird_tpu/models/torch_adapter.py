@@ -78,7 +78,15 @@ def _cls_attention(out, model, x, return_attn: bool) -> Optional[np.ndarray]:
         att = model.get_last_selfattention(x)
     if att is None:
         return None
-    cls_to_patches = att[:, :, 0, 1:].mean(dim=1)
+    # Token layout is [CLS, registers..., patches]; register-token ViTs
+    # (DINOv2 -reg) must drop their registers or the map misaligns with
+    # the patch grid.
+    n_reg = int(
+        getattr(model, "num_register_tokens", 0)
+        or getattr(getattr(model, "config", None), "num_register_tokens", 0)
+        or 0
+    )
+    cls_to_patches = att[:, :, 0, 1 + n_reg:].mean(dim=1)
     return _minmax_np(cls_to_patches.detach().float().cpu().numpy())
 
 

@@ -606,6 +606,19 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 kwargs.setdefault("quantization", "int8_rows")
             else:
                 kwargs.setdefault("bank_scale", bank_scale)
+        if (
+            str(kwargs.get("quantization") or "").lower()
+            in ("int8_rows", "int8_asym")
+            and bank_row_scale is None
+        ):
+            # Injected slabs are already quantized; without the per-slot
+            # scales the dummy build's 2-row scales would be installed
+            # below and every score would be garbage (or shape-assert).
+            raise ValueError(
+                f"quantization={kwargs['quantization']!r} slab injection "
+                "requires bank_row_scale (the per-slot scales the codes "
+                "were quantized with)"
+            )
         # Route through __init__ machinery minus the index build: set the
         # config fields via a tiny dummy, then install the real state.
         # The dummy builds with mesh=None — a meshed dummy would run the
@@ -642,8 +655,13 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 bank_row_scale, jnp.float32
             ).reshape(-1, 1)
             self._bank_scale = None
-        elif bank_scale is not None:
-            self._bank_scale = jnp.float32(bank_scale)
+        else:
+            # Same reasoning as the col-scale reset below: any row scales
+            # on the dummy cfg came from quantizing its 2-row bank and
+            # must never survive onto real injected slabs.
+            self._bank_row_scale = None
+            if bank_scale is not None:
+                self._bank_scale = jnp.float32(bank_scale)
         if bank_col_scale is not None:
             # score_ah column-block scales persisted with the tree; the
             # search path folds them into the queries. dims_per_block
@@ -697,12 +715,13 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
 
         info = sharded_memory_info(feature_dir)
         is_int8 = _manifest_dtype(info) == np.int8
-        if str(kwargs.get("quantization") or "").lower() == "int8_rows":
+        qz = str(kwargs.get("quantization") or "").lower()
+        if qz in ("int8_rows", "int8_asym"):
             # Streamed builds never hold the flat rows, so there is no
             # place to measure per-row scales without an extra full
             # pass; int8 .bankdirs carry a GLOBAL scale by contract.
             raise ValueError(
-                "quantization='int8_rows' is not supported for streamed "
+                f"quantization={qz!r} is not supported for streamed "
                 ".bankdir tree builds — quantize at save time (global "
                 "scale) or build from an in-memory bank."
             )
@@ -810,6 +829,7 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
                 if self._bank_col_scale is not None
                 else None
             ),
+            asym=self.int8_asym,
             chunk_rows=chunk_rows,
         )
 
@@ -832,6 +852,10 @@ class NearestNeighborSearchApprox(NearestNeighborSearchBase):
         from hbird_tpu.bank.io import load_tree_state
 
         state = load_tree_state(dir_path, mesh=mesh)
+        if state.pop("asym", False):
+            # The saved tree scored asymmetrically (bf16 queries x int8
+            # codes); restore that mode unless the caller overrides it.
+            kwargs.setdefault("quantization", "int8_asym")
         return cls.from_tree_state(
             state["ivf_bank"],
             state["ivf_labels"],

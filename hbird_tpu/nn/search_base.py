@@ -68,6 +68,10 @@ class NearestNeighborSearchBase(ABC):
             rows = rows.astype(jnp.float32) * jnp.take(
                 state["bank_row_scale"], idx, axis=0
             )
+            if "bank_col_scale" in state:
+                # Separable score_ah dequantization: x = codes * s_row
+                # * c_col (col scales only exist on the per-row modes).
+                rows = rows * state["bank_col_scale"]
         elif rows.dtype == jnp.int8 and "bank_scale" in state:
             rows = rows.astype(jnp.float32) * state["bank_scale"]
         return rows

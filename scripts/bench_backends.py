@@ -40,6 +40,11 @@ ap.add_argument(
          "anisotropic_quantization_threshold (direction-aware rounding) "
          "exist for. Queries are bank-like only (retrieval regime).")
 args = ap.parse_args()
+if args.hetero and args.hetero_cols:
+    # The two modes build different bank/query geometries AND pick the
+    # oracle cache by a first-match ternary — combined they'd score a
+    # hybrid geometry against the stale pure---hetero oracle.
+    ap.error("--hetero and --hetero-cols are mutually exclusive")
 
 import numpy as np
 import jax
